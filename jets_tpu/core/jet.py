@@ -72,7 +72,9 @@ def _is_static_value(v) -> bool:
     """
     if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
         return True
-    if isinstance(v, (Space, jnp.dtype)) or callable(v) and not isinstance(v, Operator):
+    if isinstance(v, (Space, jnp.dtype, jax.sharding.Mesh)):
+        return True
+    if callable(v) and not isinstance(v, Operator):
         return True
     if isinstance(v, tuple):
         return all(_is_static_value(e) for e in v)

@@ -108,10 +108,10 @@ class Space:
         """Uniform [0,1) member (complex spaces: complex uniform)."""
         if jnp.issubdtype(self._dtype, jnp.complexfloating):
             rk, ik = jax.random.split(key)
-            real_dt = jnp.finfo(self._dtype).dtype
+            real_dt = jnp.float32 if self._dtype == jnp.complex64 else jnp.float64
             re = jax.random.uniform(rk, self._shape, real_dt)
             im = jax.random.uniform(ik, self._shape, real_dt)
-            return (re + 1j * im).astype(self._dtype)
+            return jax.lax.complex(re, im).astype(self._dtype)
         if jnp.issubdtype(self._dtype, jnp.integer):
             return jax.random.randint(key, self._shape, 0, 2**30).astype(self._dtype)
         return jax.random.uniform(key, self._shape, self._dtype)
@@ -119,10 +119,11 @@ class Space:
     def randn(self, key: jax.Array) -> jax.Array:
         if jnp.issubdtype(self._dtype, jnp.complexfloating):
             rk, ik = jax.random.split(key)
-            real_dt = jnp.finfo(self._dtype).dtype
-            re = jax.random.normal(rk, self._shape, real_dt)
-            im = jax.random.normal(ik, self._shape, real_dt)
-            return ((re + 1j * im) / np.sqrt(2)).astype(self._dtype)
+            real_dt = jnp.float32 if self._dtype == jnp.complex64 else jnp.float64
+            scale = np.sqrt(0.5).astype(real_dt)
+            re = jax.random.normal(rk, self._shape, real_dt) * scale
+            im = jax.random.normal(ik, self._shape, real_dt) * scale
+            return jax.lax.complex(re, im).astype(self._dtype)
         return jax.random.normal(key, self._shape, self._dtype)
 
     # -- membership / reshape (reference ``reshape`` :38) -------------------

@@ -45,11 +45,22 @@ def dot_product_test(
     subset of the spaces (reference ``src/Jets.jl:1211-1226``).
 
     The two values must agree to roundoff for a correct adjoint pair.
+
+    For mixed real/complex operators (e.g. rfft: real domain, complex range)
+    the spaces are compared as real vector spaces: the complex side's inner
+    product contributes its real part, matching the reference's convention
+    for transform operators.
     """
     mt = _mask_mul(mmask, m)
     dt = _mask_mul(dmask, d)
     lhs = A.rng.dot(dt, A(mt))
     rhs = A.dom.dot(A.adjoint_apply(dt), mt)
+    dom_cplx = jnp.issubdtype(A.dom.dtype, jnp.complexfloating)
+    rng_cplx = jnp.issubdtype(A.rng.dtype, jnp.complexfloating)
+    if rng_cplx and not dom_cplx:
+        lhs = jnp.real(lhs)
+    if dom_cplx and not rng_cplx:
+        rhs = jnp.real(rhs)
     return lhs, rhs
 
 

@@ -1,0 +1,83 @@
+"""Stencil operators — 2-D blur and 3-D seismic-style stencils
+(BASELINE configs #3 and #5; companion-pack territory in the reference
+family, ``docs/src/index.md:14-19``).
+
+The generic path lowers to ``lax.conv_general_dilated`` with SAME padding —
+XLA maps these onto the TPU convolution path and *transposes them into
+convolutions* for the derived adjoint, so both directions run at conv speed.
+A fused Pallas kernel for the hot separable/small-stencil cases lives in
+``pallas_stencil.py``; both implementations are gated by the same dot-product
+test and cross-checked against each other in the test-suite.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.jet import Jet, LinearOperator
+from ..core.spaces import Space
+
+__all__ = ["stencil_operator", "blur2d_operator", "laplacian_operator"]
+
+
+def _stencil_df(dm, m0, state):
+    k = state["stencil"]
+    nd = k.ndim
+    pads = [((s - 1) // 2, s - 1 - (s - 1) // 2) for s in k.shape]
+    # conv (not correlation): flip the stencil on every axis
+    kf = k[tuple(slice(None, None, -1) for _ in range(nd))]
+    spatial = "".join("DHW"[-nd + i] for i in range(nd)) if nd <= 3 else None
+    if spatial is None:
+        raise ValueError("stencil_operator supports 1-3 spatial dims")
+    dn = lax.conv_dimension_numbers(
+        (1, 1) + dm.shape, (1, 1) + k.shape,
+        ("NC" + spatial, "OI" + spatial, "NC" + spatial),
+    )
+    out = lax.conv_general_dilated(
+        dm[None, None], kf[None, None],
+        window_strides=(1,) * nd,
+        padding=pads,
+        dimension_numbers=dn,
+    )
+    return out[0, 0]
+
+
+def stencil_operator(space: Space, stencil) -> LinearOperator:
+    """Constant-coefficient stencil applied with SAME (zero) padding on an
+    n-D grid (n ≤ 3). The adjoint (the flipped stencil) is derived via
+    ``linear_transpose`` → an XLA transposed convolution."""
+    stencil = jnp.asarray(stencil, space.dtype)
+    if stencil.ndim != space.ndim:
+        raise ValueError(
+            f"stencil ndim {stencil.ndim} != space ndim {space.ndim}"
+        )
+    j = Jet(dom=space, rng=space, df=_stencil_df, state={"stencil": stencil})
+    return LinearOperator(j)
+
+
+def blur2d_operator(shape: Sequence[int], radius: int = 2,
+                    dtype=jnp.float32) -> LinearOperator:
+    """Gaussian-ish box blur on a 2-D grid — the CGLS deblurring operator of
+    BASELINE config #3."""
+    n = 2 * radius + 1
+    x = jnp.arange(n, dtype=dtype) - radius
+    g = jnp.exp(-0.5 * (x / max(radius, 1)) ** 2)
+    k = jnp.outer(g, g)
+    k = k / jnp.sum(k)
+    return stencil_operator(Space(shape, dtype), k)
+
+
+def laplacian_operator(shape: Sequence[int], dtype=jnp.float32) -> LinearOperator:
+    """Second-order n-D Laplacian stencil (n ≤ 3) — the seismic-style
+    wave-operator building block of BASELINE config #5."""
+    nd = len(shape)
+    k = jnp.zeros((3,) * nd, dtype)
+    center = (1,) * nd
+    k = k.at[center].set(-2.0 * nd)
+    for ax in range(nd):
+        for off in (0, 2):
+            idx = tuple(off if i == ax else 1 for i in range(nd))
+            k = k.at[idx].set(1.0)
+    return stencil_operator(Space(shape, dtype), k)

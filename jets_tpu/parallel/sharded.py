@@ -1,0 +1,226 @@
+"""Distribution layer — mesh-sharded block operators.
+
+The reference family's only parallelism axis is **block parallelism**: in
+DistributedJets.jl (``docs/src/index.md:15``) the block rows of a
+``@blockop`` operator (e.g. seismic shot gathers) live on remote Julia
+workers, and the block-adjoint accumulation loop (``src/Jets.jl:1034-1057``)
+plus ``BlockArray`` dot/norm reductions (``:834-856``) become cross-worker
+reductions.
+
+TPU-native re-design (SURVEY §2 ledger):
+
+* homogeneous block rows are a **stacked leading axis** of one array — the
+  per-block kernel is ``vmap``-ed over it, so each block's work is one slice
+  of a single batched XLA program (MXU/VPU-friendly, zero per-block dispatch);
+* the stacked axis is sharded over a ``jax.sharding.Mesh`` axis (``"block"``)
+  with ``shard_map``; forward is embarrassingly parallel, the adjoint's
+  block accumulation is a local reduction + ``jax.lax.psum`` over ICI —
+  exactly the reference's accumulation loop turned into a collective;
+* solver-side inner products run under ``jit`` on sharded arrays, so XLA
+  GSPMD inserts the all-reduces automatically: **the Krylov solvers are
+  unchanged** between single-chip and pod-slice runs.
+
+The stacked operator is still an ordinary :class:`LinearOperator` /
+:class:`Operator` — it composes, sums, blocks, and solves like any other jet.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.jet import Jet, LinearOperator, Operator
+from ..core.spaces import Space
+
+__all__ = [
+    "stacked_block_operator",
+    "block_sharding",
+    "shard_blocks",
+    "replicate",
+    "make_block_mesh",
+]
+
+
+def make_block_mesh(n_devices: Optional[int] = None, axis: str = "block") -> Mesh:
+    """A 1-D device mesh over the block axis (shots).
+
+    Axes are ``Auto`` (GSPMD-inferred shardings): solver-side reductions on
+    sharded arrays then compile without per-op ``out_sharding`` annotations,
+    while the operator's forward/adjoint still pin their collectives
+    explicitly via ``shard_map``.
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh(
+        (len(devs),), (axis,), devices=devs,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def block_sharding(mesh: Mesh, axis: str = "block") -> NamedSharding:
+    """Sharding that splits the leading (block) axis over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_blocks(x, mesh: Mesh, axis: str = "block"):
+    """Place a stacked block array with its leading axis sharded over ICI."""
+    return jax.device_put(x, block_sharding(mesh, axis))
+
+
+def replicate(x, mesh: Mesh):
+    """Replicate a model-space array across the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+# ---------------------------------------------------------------------------
+# Stacked (homogeneous) block operator
+# ---------------------------------------------------------------------------
+# A tall block column: every block maps the SAME model m to its own data
+# block, with per-block parameters carried in stacked arrays:
+#
+#     d[b] = f(m, state[b])          forward  (vmap / shard_map over b)
+#     m'   = sum_b f'(d[b], state[b])  adjoint (local sum + psum over mesh)
+#
+# This is the reference's N×1 @blockop (domain = child domain,
+# src/Jets.jl:926-930) — the seismic multi-shot shape of BASELINE configs
+# #4 and #5.
+
+
+def _spec_like(tree, spec):
+    return jax.tree_util.tree_map(lambda _: spec, tree)
+
+
+def _stacked_f(m, state):
+    child_f, bstate = state["child_f"], state["bstate"]
+    mesh, axis = state["mesh"], state["axis"]
+    batched = jax.vmap(lambda bs: child_f(m, bs), in_axes=(0,))
+    if mesh is None:
+        return batched(bstate)
+
+    def shard_fn(m_rep, bst_shard):
+        return jax.vmap(lambda bs: child_f(m_rep, bs))(bst_shard)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), _spec_like(bstate, P(axis))),
+        out_specs=P(axis),
+    )(m, bstate)
+
+
+def _stacked_df(dm, m0, state):
+    child_df, bstate = state["child_df"], state["bstate"]
+    mesh, axis = state["mesh"], state["axis"]
+    if mesh is None:
+        return jax.vmap(lambda bs: child_df(dm, m0, bs))(bstate)
+
+    def shard_fn(dm_rep, m0_rep, bst_shard):
+        return jax.vmap(lambda bs: child_df(dm_rep, m0_rep, bs))(bst_shard)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), _spec_like(bstate, P(axis))),
+        out_specs=P(axis),
+    )(dm, m0, bstate)
+
+
+def _stacked_dft(dd, m0, state):
+    """Adjoint accumulation: local per-shard reduction, then one ``psum``
+    over the block axis — the reference's cross-worker accumulation
+    (src/Jets.jl:1034-1057) as a single ICI collective."""
+    child_dft, bstate = state["child_dft"], state["bstate"]
+    mesh, axis = state["mesh"], state["axis"]
+    if mesh is None:
+        contribs = jax.vmap(lambda d_b, bs: child_dft(d_b, m0, bs))(dd, bstate)
+        return jax.tree_util.tree_map(lambda c: jnp.sum(c, axis=0), contribs)
+
+    def shard_fn(dd_shard, m0_rep, bst_shard):
+        contribs = jax.vmap(lambda d_b, bs: child_dft(d_b, m0_rep, bs))(
+            dd_shard, bst_shard
+        )
+        local = jax.tree_util.tree_map(lambda c: jnp.sum(c, axis=0), contribs)
+        return lax.psum(local, axis)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(), _spec_like(bstate, P(axis))),
+        out_specs=P(),
+    )(dd, m0, bstate)
+
+
+def stacked_block_operator(
+    *,
+    nblocks: int,
+    dom: Space,
+    rng_block: Space,
+    bstate: Dict[str, Any],
+    df: Callable,
+    f: Optional[Callable] = None,
+    dft: Optional[Callable] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "block",
+) -> Operator:
+    """Homogeneous tall block-column operator over a stacked block axis.
+
+    Parameters
+    ----------
+    nblocks: number of blocks (shots). With a ``mesh``, must be divisible by
+        the mesh axis size.
+    dom: shared model space (the child domain — reference single-column rule).
+    rng_block: per-block data space; the operator's range is
+        ``(nblocks,) + rng_block.shape``.
+    bstate: dict of stacked per-block parameter arrays (leading dim nblocks).
+    df / f / dft: child kernels with jet signatures operating on ONE block's
+        (unstacked) state. ``dft=None`` derives the per-block adjoint via
+        ``jax.linear_transpose`` of ``df``.
+    mesh / axis: optional device mesh; the stacked axis shards over ``axis``
+        and the adjoint accumulates with ``psum`` over it.
+    """
+    for k, v in bstate.items():
+        if v.shape[0] != nblocks:
+            raise ValueError(
+                f"bstate[{k!r}] leading dim {v.shape[0]} != nblocks {nblocks}"
+            )
+    if mesh is not None:
+        ax_size = mesh.shape[axis]
+        if nblocks % ax_size:
+            raise ValueError(
+                f"nblocks {nblocks} not divisible by mesh axis {axis!r} "
+                f"size {ax_size}"
+            )
+    rng = Space((nblocks,) + rng_block.shape, rng_block.dtype)
+    state = {
+        "child_f": f if f is not None else (lambda m, bs, __df=df: __df(m, None, bs)),
+        "child_df": df,
+        "child_dft": dft,
+        "bstate": bstate,
+        "mesh": mesh,
+        "axis": axis,
+    }
+    # With no hand-written per-block adjoint, transpose the WHOLE stacked
+    # (possibly shard_map-ed) forward at the jet level: jax.linear_transpose
+    # turns the replicated-model broadcast into the psum accumulation itself.
+    # (Transposing per block *inside* the shard would double-count: the
+    # transpose of the implicit pvary is already a psum.)
+    j = Jet(
+        dom=dom,
+        rng=rng,
+        f=_stacked_f,
+        df=_stacked_df,
+        dft=_stacked_dft if dft is not None else None,
+        upstate=_stacked_upstate if f is not None else None,
+        state=state,
+    )
+    return (Operator if f is not None else LinearOperator)(j)
+
+
+def _stacked_upstate(m0, state):
+    # the model is shared across blocks; nothing block-local to refresh by
+    # default (per-block derived state belongs in the child's df closure).
+    return {}

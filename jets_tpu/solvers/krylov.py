@@ -1,0 +1,282 @@
+"""Krylov solvers — CG, CGLS, LSQR as ``lax.while_loop`` XLA programs.
+
+The reference has no in-repo solvers; its canonical solve is
+``lsqr(vec(A), vec(d))`` through IterativeSolvers.jl (docs
+``docs/src/index.md:238-246``, ``vec`` bridge ``src/Jets.jl:1143-1152``).
+Here solvers are first-class and TPU-native:
+
+* each iteration is a traced loop body — two operator applications plus a
+  handful of fused BLAS-1 reductions — compiled once by XLA;
+* solvers consume operators *directly* (operators are pytrees); no ``vec``
+  adapter is needed because model/data vectors are pytrees (arrays or
+  :class:`BlockVector`), and inner products are delegated to the operator's
+  spaces so block/symmetric weighting is automatic;
+* on a sharded block operator the space reductions become ``psum``-backed
+  collectives (see ``jets_tpu/parallel``) and the same solver code runs
+  multi-chip: **the solver is oblivious to distribution**;
+* solver state is an explicit, checkpointable pytree: every solver takes an
+  optional ``state`` to resume from and returns its final state
+  (SURVEY §5 — checkpoint/resume of Krylov recurrence vectors).
+
+Stopping: iterations cap at ``maxiter`` (static, sizes the residual-history
+buffer) or when the residual estimate drops below ``tol * ||b||``. Residual
+histories are fixed-size arrays written with ``.at[i].set`` — XLA-friendly,
+no host callbacks in the hot loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.jet import LinearOperator
+from ..utils import tree as tr
+
+__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState"]
+
+
+def _real(x):
+    return jnp.real(x)
+
+
+# ---------------------------------------------------------------------------
+# CG — Hermitian positive-definite systems A x = b
+# ---------------------------------------------------------------------------
+
+
+class CGState(NamedTuple):
+    x: Any
+    r: Any
+    p: Any
+    rho: jax.Array
+    i: jax.Array
+
+
+class SolveResult(NamedTuple):
+    x: Any
+    iterations: jax.Array
+    resnorm: jax.Array
+    history: jax.Array  # residual-norm estimate per iteration (inf-padded)
+    state: Any  # final solver state — pass back via ``state=`` to resume
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def cg(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    state: Optional[CGState] = None,
+) -> SolveResult:
+    """Conjugate gradients on a Hermitian positive-definite operator.
+
+    ``A`` must be self-adjoint on its space; this is exactly what the
+    dot-product gate (``verify.dot_product_test``) certifies.
+    """
+    dom = A.dom
+    bnorm = dom.norm(b)
+    if state is None:
+        x = dom.zeros() if x0 is None else x0
+        r = tr.sub(b, A(x))
+        p = r
+        rho = _real(dom.dot(r, r))
+        st = CGState(x, r, p, rho, jnp.asarray(0))
+    else:
+        st = state
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=bnorm.dtype)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.i < maxiter) & (jnp.sqrt(st.rho) > tol * bnorm)
+
+    def body(carry):
+        st, hist = carry
+        q = A(st.p)
+        alpha = st.rho / _real(dom.dot(st.p, q))
+        x = tr.xpay(st.x, alpha, st.p)
+        r = tr.xpay(st.r, -alpha, q)
+        rho_new = _real(dom.dot(r, r))
+        beta = rho_new / st.rho
+        p = tr.xpay(r, beta, st.p)
+        hist = hist.at[st.i].set(jnp.sqrt(rho_new))
+        return CGState(x, r, p, rho_new, st.i + 1), hist
+
+    st, hist = lax.while_loop(cond, body, (st, hist0))
+    return SolveResult(st.x, st.i, jnp.sqrt(st.rho), hist, st)
+
+
+# ---------------------------------------------------------------------------
+# CGLS — least squares min ||A x - b||, normal equations in stable form
+# ---------------------------------------------------------------------------
+
+
+class CGLSState(NamedTuple):
+    x: Any
+    r: Any  # data-space residual b - A x
+    s: Any  # model-space gradient A' r
+    p: Any
+    gamma: jax.Array  # ||s||^2
+    i: jax.Array
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def cgls(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    state: Optional[CGLSState] = None,
+) -> SolveResult:
+    """CGLS: conjugate gradients on the normal equations without forming
+    ``A'A`` — one forward and one adjoint application per iteration.
+
+    Stops when ``||A' r||`` (the normal-equation residual) falls below
+    ``tol * ||A' b||``.
+    """
+    dom, rng = A.dom, A.rng
+    s_b = A.adjoint_apply(b)
+    snorm0 = dom.norm(s_b)
+    if state is None:
+        if x0 is None:
+            x = dom.zeros()
+            r = b
+            s = s_b
+        else:
+            x = x0
+            r = tr.sub(b, A(x))
+            s = A.adjoint_apply(r)
+        gamma = _real(dom.dot(s, s))
+        st = CGLSState(x, r, s, s, gamma, jnp.asarray(0))
+    else:
+        st = state
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=snorm0.dtype)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.i < maxiter) & (jnp.sqrt(st.gamma) > tol * snorm0)
+
+    def body(carry):
+        st, hist = carry
+        q = A(st.p)
+        delta = _real(rng.dot(q, q))
+        alpha = st.gamma / delta
+        x = tr.xpay(st.x, alpha, st.p)
+        r = tr.xpay(st.r, -alpha, q)
+        s = A.adjoint_apply(r)
+        gamma_new = _real(dom.dot(s, s))
+        beta = gamma_new / st.gamma
+        p = tr.xpay(s, beta, st.p)
+        hist = hist.at[st.i].set(rng.norm(r))
+        return CGLSState(x, r, s, p, gamma_new, st.i + 1), hist
+
+    st, hist = lax.while_loop(cond, body, (st, hist0))
+    return SolveResult(st.x, st.i, rng.norm(st.r), hist, st)
+
+
+# ---------------------------------------------------------------------------
+# LSQR — Paige & Saunders Golub-Kahan bidiagonalization
+# ---------------------------------------------------------------------------
+
+
+class LSQRState(NamedTuple):
+    x: Any
+    u: Any  # data-space Lanczos vector
+    v: Any  # model-space Lanczos vector
+    w: Any  # search direction
+    alpha: jax.Array
+    phibar: jax.Array  # ||r|| estimate
+    rhobar: jax.Array
+    i: jax.Array
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def lsqr(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    damp: float = 0.0,
+    state: Optional[LSQRState] = None,
+) -> SolveResult:
+    """LSQR (Paige & Saunders 1982) for ``min ||A x - b||^2 + damp^2 ||x||^2``.
+
+    One forward and one adjoint application per iteration; the Golub-Kahan
+    recurrence scalars are fused reductions, so a distributed block operator
+    costs exactly two collective rounds per iteration. ``phibar`` tracks the
+    residual norm without ever forming ``r``.
+    """
+    dom, rng = A.dom, A.rng
+
+    def _normalize(space, vct):
+        n = space.norm(vct)
+        safe = jnp.where(n > 0, n, 1.0)
+        return tr.scale(1.0 / safe, vct), n
+
+    if state is None:
+        if x0 is None:
+            x = dom.zeros()
+            r0 = b
+        else:
+            x = x0
+            r0 = tr.sub(b, A(x))
+        u, beta = _normalize(rng, r0)
+        v, alpha = _normalize(dom, A.adjoint_apply(u))
+        st = LSQRState(x, u, v, v, alpha, beta, alpha, jnp.asarray(0))
+        bnorm = beta
+    else:
+        st = state
+        bnorm = rng.norm(b)
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.phibar.dtype)
+    damp = jnp.asarray(damp, dtype=st.phibar.dtype)
+
+    def cond(carry):
+        st, _ = carry
+        # phibar carries a sign through the rotations; only its magnitude is
+        # the residual-norm estimate
+        return (st.i < maxiter) & (jnp.abs(st.phibar) > tol * bnorm)
+
+    def _sym_ortho(a, bb):
+        """Stable Givens rotation (c, s, r) with the (0, 0) -> (1, 0, 0)
+        convention so the recurrence stays NaN-free after exact convergence
+        (alpha/beta collapse to 0 once the Krylov space is exhausted)."""
+        r = jnp.sqrt(a**2 + bb**2)
+        rsafe = jnp.where(r > 0, r, 1.0)
+        c = jnp.where(r > 0, a / rsafe, 1.0)
+        s = jnp.where(r > 0, bb / rsafe, 0.0)
+        return c, s, r
+
+    def body(carry):
+        st, hist = carry
+        # bidiagonalization: beta u = A v - alpha u ; alpha v = A' u - beta v
+        u_next = tr.axpy(-st.alpha, st.u, A(st.v))
+        u_next, beta = _normalize(rng, u_next)
+        v_next = tr.axpy(-beta, st.v, A.adjoint_apply(u_next))
+        v_next, alpha = _normalize(dom, v_next)
+        # eliminate damping (regularization) via an extra rotation
+        c1, _, rhobar1 = _sym_ortho(st.rhobar, damp)
+        phibar1 = c1 * st.phibar
+        # plane rotation on the bidiagonal
+        c, s, rho = _sym_ortho(rhobar1, beta)
+        theta = s * alpha
+        rhobar = -c * alpha
+        phi = c * phibar1
+        phibar = s * phibar1
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        t1 = jnp.where(rho > 0, phi / rho_safe, 0.0)
+        t2 = jnp.where(rho > 0, -theta / rho_safe, 0.0)
+        x = tr.xpay(st.x, t1, st.w)
+        w = tr.axpy(t2, st.w, v_next)
+        hist = hist.at[st.i].set(jnp.abs(phibar))
+        return LSQRState(x, u_next, v_next, w, alpha, phibar, rhobar, st.i + 1), hist
+
+    st, hist = lax.while_loop(cond, body, (st, hist0))
+    return SolveResult(st.x, st.i, jnp.abs(st.phibar), hist, st)

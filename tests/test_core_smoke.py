@@ -33,8 +33,8 @@ def test_diagonal_and_adjoint():
 
 def test_matrix_compose_materialize():
     key = jax.random.PRNGKey(0)
-    A = matrix_operator(jax.random.normal(key, (4, 5)))
-    w = jnp.arange(1.0, 5.0, dtype=jnp.float32)
+    A = matrix_operator(jax.random.normal(key, (4, 5), jnp.float64))
+    w = jnp.arange(1.0, 5.0, dtype=jnp.float64)
     D = diagonal_operator(w)
     C = D @ A  # compose
     assert C.dom.size == 5 and C.rng.size == 4
@@ -90,11 +90,12 @@ def test_operator_through_jit():
 def test_block_operator_roundtrip():
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    A11 = matrix_operator(jax.random.normal(k1, (3, 4)))
-    A22 = diagonal_operator(jnp.arange(1.0, 4.0, dtype=jnp.float32))
+    f64 = jnp.float64
+    A11 = matrix_operator(jax.random.normal(k1, (3, 4), f64))
+    A22 = diagonal_operator(jnp.arange(1.0, 4.0, dtype=f64))
     B = jt.block_operator([
-        [A11, jt.zero_block(jt.Space((3,)), jt.Space((3,)))],
-        [jt.zero_block(jt.Space((4,)), jt.Space((3,))), A22],
+        [A11, jt.zero_block(jt.Space((3,), f64), jt.Space((3,), f64))],
+        [jt.zero_block(jt.Space((4,), f64), jt.Space((3,), f64)), A22],
     ])
     assert jt.nblocks(B) == (2, 2)
     m = B.dom.randn(jax.random.PRNGKey(1))

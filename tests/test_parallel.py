@@ -1,0 +1,128 @@
+"""Sharded stacked block operator on the virtual 8-device CPU mesh:
+forward/adjoint parity with the unsharded path, psum adjoint accumulation,
+and a distributed LSQR solve (BASELINE config #4, scaled down)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jets_tpu as jt
+from jets_tpu.models.seismic import make_seismic_operator, make_seismic_problem
+from jets_tpu.parallel.sharded import (
+    make_block_mesh,
+    shard_blocks,
+    replicate,
+    stacked_block_operator,
+)
+from jets_tpu.solvers import cgls, lsqr
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mini_stacked(mesh=None, nblocks=8, n=12, dtype=jnp.float64):
+    """Tiny stacked operator: per block d_b = w_b * m (diagonal per shot)."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (nblocks, n), dtype)
+
+    def df(dm, m0, bs):
+        return bs["w"] * dm
+
+    return stacked_block_operator(
+        nblocks=nblocks,
+        dom=jt.Space((n,), dtype),
+        rng_block=jt.Space((n,), dtype),
+        bstate={"w": w},
+        df=df,
+        mesh=mesh,
+    ), w
+
+
+def test_stacked_forward_adjoint_unsharded():
+    A, w = _mini_stacked()
+    m = A.dom.randn(jax.random.PRNGKey(1))
+    d = A(m)
+    np.testing.assert_allclose(d, w * m[None, :], rtol=1e-12)
+    dd = A.rng.randn(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(A.H(dd), jnp.sum(w * dd, axis=0), rtol=1e-12)
+    lhs, rhs = jt.dot_product_test(A, m, dd)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_stacked_sharded_matches_unsharded():
+    mesh = make_block_mesh(8)
+    A0, _ = _mini_stacked()
+    A1, _ = _mini_stacked(mesh=mesh)
+    m = A0.dom.randn(jax.random.PRNGKey(3))
+    d0 = A0(m)
+    d1 = A1(replicate(m, mesh))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-12)
+    dd = A0.rng.randn(jax.random.PRNGKey(4))
+    a0 = A0.H(dd)
+    a1 = A1.H(shard_blocks(dd, mesh))
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-12)
+
+
+def test_sharded_adjoint_gate_under_jit():
+    mesh = make_block_mesh(8)
+    A, _ = _mini_stacked(mesh=mesh)
+
+    @jax.jit
+    def gate(op, m, d):
+        return jt.dot_product_test(op, m, d)
+
+    m = A.dom.randn(jax.random.PRNGKey(5))
+    d = A.rng.randn(jax.random.PRNGKey(6))
+    lhs, rhs = gate(A, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_seismic_operator_gates():
+    A = make_seismic_operator((16, 16), 8, 20, jax.random.PRNGKey(0),
+                              dtype=jnp.float64)
+    m = A.dom.randn(jax.random.PRNGKey(1))
+    d = A.rng.randn(jax.random.PRNGKey(2))
+    lhs, rhs = jt.dot_product_test(A, m, d)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_seismic_sharded_matches_unsharded():
+    mesh = make_block_mesh(8)
+    A0 = make_seismic_operator((12, 12), 8, 15, jax.random.PRNGKey(0),
+                               dtype=jnp.float64)
+    A1 = make_seismic_operator((12, 12), 8, 15, jax.random.PRNGKey(0),
+                               mesh=mesh, dtype=jnp.float64)
+    m = A0.dom.randn(jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(A0(m)), np.asarray(A1(m)), rtol=1e-12)
+    d = A0.rng.randn(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(A0.H(d)), np.asarray(A1.H(d)),
+                               rtol=1e-12)
+
+
+def test_distributed_lsqr_converges():
+    """Config #4 scaled down: multi-shot LSQR on the 8-device mesh matches the
+    single-device solve."""
+    mesh = make_block_mesh(8)
+    A0, m_true, d_obs = make_seismic_problem((12, 12), 16, 30, seed=1,
+                                             dtype=jnp.float64)
+    A1, _, _ = make_seismic_problem((12, 12), 16, 30, seed=1, mesh=mesh,
+                                    dtype=jnp.float64)
+    r0 = lsqr(A0, d_obs, maxiter=50, tol=1e-12)
+    r1 = lsqr(A1, shard_blocks(d_obs, mesh), maxiter=50, tol=1e-12)
+    bnorm = float(A0.rng.norm(d_obs))
+    # The ill-conditioned operator amplifies reduction-order roundoff, so the
+    # two *solutions* only agree to a few digits; the convergence behavior
+    # must match tightly and the true residuals must agree.
+    assert abs(float(r0.resnorm) - float(r1.resnorm)) < 1e-3 * bnorm
+    true_res0 = float(A0.rng.norm(A0(r0.x) - d_obs))
+    true_res1 = float(A0.rng.norm(A0(r1.x.astype(jnp.float64)) - d_obs))
+    assert abs(true_res0 - true_res1) < 1e-3 * bnorm
+    # each path's phibar estimate must track ITS true residual tightly
+    assert abs(true_res0 - float(r0.resnorm)) < 1e-9 * bnorm
+    assert abs(true_res1 - float(r1.resnorm)) < 1e-9 * bnorm
+    np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x),
+                               rtol=0.5, atol=1e-2 * float(np.max(np.abs(r0.x))))
+    # converging at all: residual decreased substantially
+    assert float(r1.resnorm) < 0.1 * bnorm
