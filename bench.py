@@ -7,55 +7,93 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 measured against the round-1 recorded value (NOMINAL_BASELINE) to track
 regression/progress across rounds.
+
+Timing methodology (hard-won on the axon TPU tunnel):
+* repeated executions with identical inputs can be served from a result
+  cache, and per-call dispatch latency is large and variable — so the
+  headline is a MARGINAL cost: ``(t(MAXITER_HI) - t(MAXITER_LO)) / (HI-LO)``
+  using two distinct executables (different static maxiter). Fixed
+  dispatch/transfer overhead cancels; neither call can be served from the
+  other's cache.
+* matvec throughput is measured the same way with a fused fori_loop of
+  chained forward applies.
 """
 import json
 import time
 
 import jax
+
+# Persistent compilation cache: remote (tunnel) compiles of the jitted LSQR
+# take minutes cold; cached reruns start in seconds. /tmp persists for the
+# machine's lifetime, so earlier runs pre-warm later ones.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jets_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
+from jax import lax
 
 from jets_tpu.models.seismic import make_seismic_problem
 from jets_tpu.solvers import lsqr
 
-# round-1 nominal: lsqr iterations/s on (512,512) grid, 32 shots, 1024 recv,
-# float32, single TPU v5e chip. Updated only when the benchmark config changes.
-NOMINAL_BASELINE = 421.6  # round-1 measured value on TPU v5e
+# round-1 nominal: marginal lsqr iterations/s on (2048,2048) grid, 64 shots,
+# 4096 receivers, float32, single TPU v5e chip (HBM regime: 16 MB model).
+NOMINAL_BASELINE = 196.0
 
-GRID = (512, 512)
-NSHOTS = 32
-NRECV = 1024
-MAXITER = 50
+GRID = (2048, 2048)
+NSHOTS = 64
+NRECV = 4096
+# Marginal differencing needs the iteration-count delta to dwarf the
+# hundreds-of-ms dispatch/transfer jitter of the tunnel.
+LO, HI = 100, 2100
+
+
+def _timed(fn, args_per_rep):
+    """Time fn over reps with DISTINCT inputs each rep (the tunnel serves
+    repeat executions with identical inputs from a result cache)."""
+    r = fn(*args_per_rep[0])
+    jax.block_until_ready(r)
+    ts = []
+    for args in args_per_rep[1:]:
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), r
 
 
 def main():
+    # 5% observation noise keeps the LS problem inconsistent so the solver
+    # runs its full iteration budget (no early exact-fit exit).
     A, m_true, d_obs = make_seismic_problem(
-        GRID, NSHOTS, NRECV, seed=0, dtype=jnp.float32
+        GRID, NSHOTS, NRECV, seed=0, noise=0.05, dtype=jnp.float32
     )
 
-    # ---- LSQR iterations/s ----
-    res = lsqr(A, d_obs, maxiter=MAXITER, tol=0.0)  # compile + warmup
-    jax.block_until_ready(res.x)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = lsqr(A, d_obs, maxiter=MAXITER, tol=0.0)
-        jax.block_until_ready(res.x)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    iters_per_s = MAXITER / dt
+    # distinct right-hand sides per repetition (defeats the result cache)
+    bs = [d_obs * (1.0 + 1e-5 * i) for i in range(4)]
+    jax.block_until_ready(bs)
 
-    # ---- matvecs/s (forward applies) ----
-    fwd = jax.jit(lambda op, m: op(m))
-    d = fwd(A, m_true)
-    jax.block_until_ready(d)
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        d = fwd(A, m_true)
-    jax.block_until_ready(d)
-    matvecs_per_s = n / (time.perf_counter() - t0)
+    # ---- LSQR iterations/s (marginal cost between two iteration budgets)
+    t_lo, res_lo = _timed(
+        lambda b: lsqr(A, b, maxiter=LO, tol=0.0), [(b,) for b in bs]
+    )
+    t_hi, res_hi = _timed(
+        lambda b: lsqr(A, b, maxiter=HI, tol=0.0), [(b,) for b in bs]
+    )
+    assert int(res_hi.iterations) == HI and int(res_lo.iterations) == LO
+    iters_per_s = (HI - LO) / max(t_hi - t_lo, 1e-9)
 
-    resid_rel = float(res.resnorm) / float(A.rng.norm(d_obs))
+    # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
+    pair = jax.jit(
+        lambda m, k: lax.fori_loop(0, k, lambda i, v: A.H(A(v)) * (1.0 - 1e-9), m)
+    )
+    ms = [m_true + 1e-5 * i for i in range(4)]
+    jax.block_until_ready(ms)
+    t1, _ = _timed(pair, [(m, 5) for m in ms])
+    t2, _ = _timed(pair, [(m, 2005) for m in ms])
+    pair_ms = (t2 - t1) / 2000 * 1e3
+    matvecs_per_s = 2 * 2000 / max(t2 - t1, 1e-9)
+
+    resid_rel = float(res_hi.resnorm) / float(A.rng.norm(d_obs))
 
     print(
         json.dumps(
@@ -65,7 +103,8 @@ def main():
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_s / NOMINAL_BASELINE, 3),
                 "matvecs_per_s": round(matvecs_per_s, 3),
-                "relative_residual_after_50_iters": round(resid_rel, 6),
+                "matvec_pair_ms": round(pair_ms, 4),
+                "relative_residual": round(resid_rel, 6),
                 "config": f"grid={GRID}, nshots={NSHOTS}, nrecv={NRECV}, f32",
                 "device": str(jax.devices()[0]),
             }

@@ -1,0 +1,120 @@
+"""Micro-benchmark suite — mirrors the reference's BenchmarkTools ``SUITE``
+(``benchmark/benchmarks.jl``, 8 groups: JetSpace, Jet, JopLn, JopNl,
+Composition, Block homogeneous/heterogeneous, vec).
+
+The reference's implied contract (BASELINE.md): combinator/block abstraction
+overhead ≈ 0 vs the base case. Here the analogous contract is that a
+combinator applied under ``jit`` compiles to the same fused XLA program as
+the hand-written base case; the suite reports both so the tax is visible.
+
+Run: ``python benchmarks/micro.py [--device cpu|tpu]`` — prints one row per
+entry (median of ``reps``).
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+ROWS = []
+
+
+def timeit(label, fn, *args, reps=30):
+    fn(*args)  # warm / compile
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    med = ts[len(ts) // 2] * 1e6
+    ROWS.append((label, med))
+    return med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    args = ap.parse_args()
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jets_tpu as jt
+    from jets_tpu.ops.diagonal import diagonal_operator
+    from jets_tpu.ops.matrix import matrix_operator
+
+    key = jax.random.PRNGKey(0)
+    n = 100  # reference micro-op size (benchmark/benchmarks.jl uses 100)
+
+    # --- group: Space (reference benchmarks.jl:7-16) ---
+    sp = jt.Space((n,), jnp.float32)
+    timeit("space/construct", lambda: jt.Space((n,), jnp.float32))
+    timeit("space/rand", lambda: sp.rand(key))
+    timeit("space/zeros", lambda: sp.zeros())
+    timeit("space/reshape", lambda: sp.reshape(jnp.zeros(n)))
+
+    # --- group: JopLn (diagonal, reference :42-52) ---
+    w = jnp.arange(1.0, n + 1.0)
+    D = diagonal_operator(w)
+    m = sp.rand(key)
+    apply_jit = jax.jit(lambda op, x: op(x))
+    adj_jit = jax.jit(lambda op, x: op.H(x))
+    timeit("linop/construct", lambda: diagonal_operator(w))
+    timeit("linop/apply", apply_jit, D, m)
+    timeit("linop/adjoint_apply", adj_jit, D, m)
+    timeit("linop/adjoint_wrap", lambda: D.H)
+
+    # --- group: JopNl (elementwise square, reference :63-71) ---
+    F = jt.Operator(jt.Jet(dom=sp, rng=sp,
+                           f=lambda x, s: x * x,
+                           df=lambda dx, x0, s: 2 * x0 * dx, dft="self"))
+    timeit("nlop/apply", apply_jit, F, m)
+    timeit("nlop/linearize", lambda: F.linearize(m))
+    J = F.linearize(m)
+    timeit("nlop/jacobian_apply", apply_jit, J, m)
+
+    # --- group: Composition (F∘A∘F∘A, reference :75-86) ---
+    A4 = F @ D @ F @ D
+    timeit("comp/construct", lambda: F @ D @ F @ D)
+    timeit("comp/apply", apply_jit, A4, m)
+    J4 = A4.linearize(m)
+    timeit("comp/jacobian_apply", apply_jit, J4, m)
+    timeit("comp/jacobian_adjoint", adj_jit, J4, m)
+    # base case: hand-fused chain
+    basef = jax.jit(lambda x: (lambda y: y * y)(w * (lambda z: z * z)(w * x)))
+    timeit("comp/apply (base-case)", basef, m)
+
+    # --- group: Block homogeneous (2x3 blockop, reference :100-124) ---
+    ops = [[diagonal_operator(w) for _ in range(3)] for _ in range(2)]
+    B = jt.block_operator(ops)
+    mb = B.dom.rand(key)
+    timeit("block/construct", lambda: jt.block_operator(ops))
+    timeit("block/apply", apply_jit, B, mb)
+    timeit("block/adjoint", adj_jit, B, B.rng.rand(key))
+    timeit("block/getblock", lambda: jt.getblock(B, 1, 2))
+    timeit("block/dot", jax.jit(lambda x, y: x.space.dot(x, y)), mb, mb)
+    timeit("block/norm", jax.jit(lambda x: x.space.norm(x)), mb)
+    # base case: flat array ops of the same total size
+    flat = jnp.zeros(B.dom.size)
+    timeit("block/dot (base-case)", jax.jit(jnp.vdot), flat, flat)
+    timeit("block/norm (base-case)", jax.jit(jnp.linalg.norm), flat)
+
+    # --- group: vec (reference :173-185) ---
+    sp2 = jt.Space((10, n // 10), jnp.float32)
+    D2 = diagonal_operator(sp2.rand(key))
+    V = jt.vec(D2)
+    mv = V.dom.rand(key)
+    timeit("vec/construct", lambda: jt.vec(D2))
+    timeit("vec/apply", apply_jit, V, mv)
+    timeit("vec/adjoint", adj_jit, V, mv)
+
+    print(f"\n{'entry':38s} {'median us':>12s}")
+    print("-" * 52)
+    for label, med in ROWS:
+        print(f"{label:38s} {med:12.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,15 +69,25 @@ def blur2d_operator(shape: Sequence[int], radius: int = 2,
     return stencil_operator(Space(shape, dtype), k)
 
 
-def laplacian_operator(shape: Sequence[int], dtype=jnp.float32) -> LinearOperator:
-    """Second-order n-D Laplacian stencil (n ≤ 3) — the seismic-style
-    wave-operator building block of BASELINE config #5."""
-    nd = len(shape)
-    k = jnp.zeros((3,) * nd, dtype)
-    center = (1,) * nd
-    k = k.at[center].set(-2.0 * nd)
+def _laplacian_df(dm, m0, state):
+    """n-D Laplacian via shifted slices of a zero-padded array — pure VPU
+    adds, measurably faster on TPU than a 1-channel XLA convolution, and
+    exactly symmetric with the zero boundary (so the op is self-adjoint)."""
+    nd = dm.ndim
+    xp = jnp.pad(dm, 1)
+    mid = tuple(slice(1, -1) for _ in range(nd))
+    out = (-2.0 * nd) * dm
     for ax in range(nd):
-        for off in (0, 2):
-            idx = tuple(off if i == ax else 1 for i in range(nd))
-            k = k.at[idx].set(1.0)
-    return stencil_operator(Space(shape, dtype), k)
+        lo = tuple(slice(0, -2) if i == ax else slice(1, -1) for i in range(nd))
+        hi = tuple(slice(2, None) if i == ax else slice(1, -1) for i in range(nd))
+        out = out + xp[lo] + xp[hi]
+    return out
+
+
+def laplacian_operator(shape: Sequence[int], dtype=jnp.float32) -> LinearOperator:
+    """Second-order n-D Laplacian stencil — the seismic-style wave-operator
+    building block of BASELINE config #5. Self-adjoint (symmetric stencil,
+    zero boundary)."""
+    sp = Space(shape, dtype)
+    j = Jet(dom=sp, rng=sp, df=_laplacian_df, dft="self")
+    return LinearOperator(j)

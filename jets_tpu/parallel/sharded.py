@@ -95,63 +95,77 @@ def _spec_like(tree, spec):
 
 
 def _stacked_f(m, state):
-    child_f, bstate = state["child_f"], state["bstate"]
+    child_f, bstate, sstate = state["child_f"], state["bstate"], state["sstate"]
     mesh, axis = state["mesh"], state["axis"]
-    batched = jax.vmap(lambda bs: child_f(m, bs), in_axes=(0,))
     if mesh is None:
-        return batched(bstate)
+        return jax.vmap(lambda bs: child_f(m, {**bs, **sstate}))(bstate)
 
-    def shard_fn(m_rep, bst_shard):
-        return jax.vmap(lambda bs: child_f(m_rep, bs))(bst_shard)
+    def shard_fn(m_rep, bst_shard, sst):
+        return jax.vmap(lambda bs: child_f(m_rep, {**bs, **sst}))(bst_shard)
 
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), _spec_like(bstate, P(axis))),
+        in_specs=(P(), _spec_like(bstate, P(axis)), _spec_like(sstate, P())),
         out_specs=P(axis),
-    )(m, bstate)
+    )(m, bstate, sstate)
 
 
 def _stacked_df(dm, m0, state):
-    child_df, bstate = state["child_df"], state["bstate"]
+    child_df, bstate, sstate = state["child_df"], state["bstate"], state["sstate"]
     mesh, axis = state["mesh"], state["axis"]
     if mesh is None:
-        return jax.vmap(lambda bs: child_df(dm, m0, bs))(bstate)
+        return jax.vmap(lambda bs: child_df(dm, m0, {**bs, **sstate}))(bstate)
 
-    def shard_fn(dm_rep, m0_rep, bst_shard):
-        return jax.vmap(lambda bs: child_df(dm_rep, m0_rep, bs))(bst_shard)
+    def shard_fn(dm_rep, m0_rep, bst_shard, sst):
+        return jax.vmap(lambda bs: child_df(dm_rep, m0_rep, {**bs, **sst}))(
+            bst_shard
+        )
 
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), _spec_like(bstate, P(axis))),
+        in_specs=(P(), P(), _spec_like(bstate, P(axis)), _spec_like(sstate, P())),
         out_specs=P(axis),
-    )(dm, m0, bstate)
+    )(dm, m0, bstate, sstate)
 
 
 def _stacked_dft(dd, m0, state):
     """Adjoint accumulation: local per-shard reduction, then one ``psum``
     over the block axis — the reference's cross-worker accumulation
-    (src/Jets.jl:1034-1057) as a single ICI collective."""
-    child_dft, bstate = state["child_dft"], state["bstate"]
+    (src/Jets.jl:1034-1057) as a single ICI collective.
+
+    Two accumulation strategies:
+    * ``child_dft`` — per-block adjoint, vmapped then summed (materializes a
+      per-block model-space contribution; general but memory-heavy);
+    * ``stack_dft(dd_stack, m0, bstate) -> model`` — whole-stack adjoint over
+      the local shard in one shot (e.g. a reduce + single scatter-add);
+      preferred for hot operators.
+    """
+    child_dft, stack_dft = state["child_dft"], state["stack_dft"]
+    bstate, sstate = state["bstate"], state["sstate"]
     mesh, axis = state["mesh"], state["axis"]
-    if mesh is None:
-        contribs = jax.vmap(lambda d_b, bs: child_dft(d_b, m0, bs))(dd, bstate)
+
+    def local_adjoint(dd_loc, m0_loc, bst_loc, sst):
+        if stack_dft is not None:
+            return stack_dft(dd_loc, m0_loc, {**bst_loc, **sst})
+        contribs = jax.vmap(lambda d_b, bs: child_dft(d_b, m0_loc, {**bs, **sst}))(
+            dd_loc, bst_loc
+        )
         return jax.tree_util.tree_map(lambda c: jnp.sum(c, axis=0), contribs)
 
-    def shard_fn(dd_shard, m0_rep, bst_shard):
-        contribs = jax.vmap(lambda d_b, bs: child_dft(d_b, m0_rep, bs))(
-            dd_shard, bst_shard
-        )
-        local = jax.tree_util.tree_map(lambda c: jnp.sum(c, axis=0), contribs)
-        return lax.psum(local, axis)
+    if mesh is None:
+        return local_adjoint(dd, m0, bstate, sstate)
+
+    def shard_fn(dd_shard, m0_rep, bst_shard, sst):
+        return lax.psum(local_adjoint(dd_shard, m0_rep, bst_shard, sst), axis)
 
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(), _spec_like(bstate, P(axis))),
+        in_specs=(P(axis), P(), _spec_like(bstate, P(axis)), _spec_like(sstate, P())),
         out_specs=P(),
-    )(dd, m0, bstate)
+    )(dd, m0, bstate, sstate)
 
 
 def stacked_block_operator(
@@ -163,6 +177,8 @@ def stacked_block_operator(
     df: Callable,
     f: Optional[Callable] = None,
     dft: Optional[Callable] = None,
+    stack_dft: Optional[Callable] = None,
+    sstate: Optional[Dict[str, Any]] = None,
     mesh: Optional[Mesh] = None,
     axis: str = "block",
 ) -> Operator:
@@ -176,13 +192,21 @@ def stacked_block_operator(
     rng_block: per-block data space; the operator's range is
         ``(nblocks,) + rng_block.shape``.
     bstate: dict of stacked per-block parameter arrays (leading dim nblocks).
+    sstate: dict of SHARED parameter arrays replicated across blocks (and
+        across the mesh) — e.g. a fixed receiver geometry. Merged into the
+        per-block state dict passed to the kernels; keys must not collide
+        with ``bstate``.
     df / f / dft: child kernels with jet signatures operating on ONE block's
-        (unstacked) state. ``dft=None`` derives the per-block adjoint via
-        ``jax.linear_transpose`` of ``df``.
+        (unstacked) state. ``dft=None`` derives the adjoint via
+        ``jax.linear_transpose``. ``stack_dft(dd, m0, state)`` instead
+        consumes the whole (local) stack at once.
     mesh / axis: optional device mesh; the stacked axis shards over ``axis``
         and the adjoint accumulates with ``psum`` over it.
     """
+    sstate = dict(sstate or {})
     for k, v in bstate.items():
+        if k in sstate:
+            raise ValueError(f"state key {k!r} appears in both bstate and sstate")
         if v.shape[0] != nblocks:
             raise ValueError(
                 f"bstate[{k!r}] leading dim {v.shape[0]} != nblocks {nblocks}"
@@ -199,21 +223,25 @@ def stacked_block_operator(
         "child_f": f if f is not None else (lambda m, bs, __df=df: __df(m, None, bs)),
         "child_df": df,
         "child_dft": dft,
+        "stack_dft": stack_dft,
         "bstate": bstate,
+        "sstate": sstate,
         "mesh": mesh,
         "axis": axis,
     }
-    # With no hand-written per-block adjoint, transpose the WHOLE stacked
-    # (possibly shard_map-ed) forward at the jet level: jax.linear_transpose
-    # turns the replicated-model broadcast into the psum accumulation itself.
-    # (Transposing per block *inside* the shard would double-count: the
-    # transpose of the implicit pvary is already a psum.)
+    # With no hand-written adjoint (per-block dft or whole-stack stack_dft),
+    # transpose the WHOLE stacked (possibly shard_map-ed) forward at the jet
+    # level: jax.linear_transpose turns the replicated-model broadcast into
+    # the psum accumulation itself. (Transposing per block *inside* the shard
+    # would double-count: the transpose of the implicit pvary is already a
+    # psum.)
+    have_adjoint = dft is not None or stack_dft is not None
     j = Jet(
         dom=dom,
         rng=rng,
         f=_stacked_f,
         df=_stacked_df,
-        dft=_stacked_dft if dft is not None else None,
+        dft=_stacked_dft if have_adjoint else None,
         upstate=_stacked_upstate if f is not None else None,
         state=state,
     )

@@ -1,0 +1,77 @@
+"""Hashing (native CRC32C) and checkpoint/resume round-trips."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import jets_tpu as jt
+from jets_tpu.ops.matrix import matrix_operator
+from jets_tpu.solvers import cg
+from jets_tpu.utils.hashing import crc32c, tree_hash, _py_table, _get_lib
+from jets_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+def test_crc32c_known_vector():
+    # RFC 3720 test vector: crc32c of 32 zero bytes
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_native_lib_matches_python():
+    lib = _get_lib()
+    assert lib is not None, "native crc32c failed to build (g++ present?)"
+    data = bytes(range(256)) * 7 + b"tail"
+    # force python path by calling table routine directly
+    tbl = _py_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ tbl[(crc ^ b) & 0xFF]
+    assert crc32c(data) == (~crc) & 0xFFFFFFFF
+
+
+def test_tree_hash_sensitivity():
+    x = {"a": jnp.arange(10.0), "b": jnp.ones((3, 3))}
+    h1 = tree_hash(x)
+    assert tree_hash(x) == h1  # deterministic
+    y = {"a": jnp.arange(10.0).at[3].set(5.0), "b": jnp.ones((3, 3))}
+    assert tree_hash(y) != h1  # value change
+    z = {"a": jnp.arange(10.0), "c": jnp.ones((3, 3))}
+    assert tree_hash(z) != h1  # structure change
+
+
+def test_checkpoint_solver_resume(tmp_path):
+    n = 32
+    M = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float64)
+    A = matrix_operator(M @ M.T + n * jnp.eye(n))
+    b = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float64)
+
+    half = cg(A, b, maxiter=10, tol=0.0)
+    p = os.path.join(tmp_path, "cg_state.npz")
+    h = save_checkpoint(p, half.state, meta={"iteration": int(half.iterations)})
+    state, meta = load_checkpoint(p, like=half.state)
+    assert meta["crc32c"] == h and meta["iteration"] == 10
+
+    resumed = cg(A, b, maxiter=20, tol=0.0, state=state)
+    full = cg(A, b, maxiter=20, tol=0.0)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-12)
+
+
+def test_checkpoint_detects_corruption(tmp_path):
+    x = {"m": jnp.arange(64.0)}
+    p = os.path.join(tmp_path, "m.npz")
+    save_checkpoint(p, x)
+    # corrupt a leaf in place
+    import numpy as _np
+    with _np.load(p) as z:
+        data = dict(z)
+    data["leaf_0"] = data["leaf_0"].copy()
+    data["leaf_0"][0] = 999.0
+    with open(p, "wb") as f:
+        _np.savez(f, **data)
+    try:
+        load_checkpoint(p, like=x)
+        assert False, "corruption not detected"
+    except ValueError as e:
+        assert "hash mismatch" in str(e)
