@@ -9,14 +9,12 @@ measured against the round-1 recorded value (NOMINAL_BASELINE) to track
 regression/progress across rounds.
 
 Timing methodology (hard-won on the axon TPU tunnel):
+* ``jax.block_until_ready`` does NOT wait for completion on this backend —
+  every timed call must force a SCALAR HOST READ of the result;
 * repeated executions with identical inputs can be served from a result
-  cache, and per-call dispatch latency is large and variable — so the
-  headline is a MARGINAL cost: ``(t(MAXITER_HI) - t(MAXITER_LO)) / (HI-LO)``
-  using two distinct executables (different static maxiter). Fixed
-  dispatch/transfer overhead cancels; neither call can be served from the
-  other's cache.
-* matvec throughput is measured the same way with a fused fori_loop of
-  chained forward applies.
+  cache, so every repetition perturbs its input;
+* the headline is a MARGINAL cost: ``(t(HI) - t(LO)) / (HI - LO)`` between
+  two iteration budgets, cancelling fixed dispatch/read overhead.
 """
 import json
 import time
@@ -37,7 +35,8 @@ from jets_tpu.solvers import lsqr
 
 # round-1 nominal: marginal lsqr iterations/s on (2048,2048) grid, 64 shots,
 # 4096 receivers, float32, single TPU v5e chip (HBM regime: 16 MB model).
-NOMINAL_BASELINE = 196.0
+# Round-1 measured 7560 iter/s (132 us/iter).
+NOMINAL_BASELINE = 7560.0
 
 GRID = (2048, 2048)
 NSHOTS = 64
@@ -47,16 +46,17 @@ NRECV = 4096
 LO, HI = 100, 2100
 
 
-def _timed(fn, args_per_rep):
-    """Time fn over reps with DISTINCT inputs each rep (the tunnel serves
-    repeat executions with identical inputs from a result cache)."""
+def _timed(fn, read_scalar, args_per_rep):
+    """Time fn over reps with DISTINCT inputs each rep, forcing completion
+    via a scalar host read (block_until_ready does not wait on this
+    backend; identical inputs can be served from a result cache)."""
     r = fn(*args_per_rep[0])
-    jax.block_until_ready(r)
+    read_scalar(r)
     ts = []
     for args in args_per_rep[1:]:
         t0 = time.perf_counter()
         r = fn(*args)
-        jax.block_until_ready(r)
+        read_scalar(r)
         ts.append(time.perf_counter() - t0)
     return min(ts), r
 
@@ -73,23 +73,27 @@ def main():
     jax.block_until_ready(bs)
 
     # ---- LSQR iterations/s (marginal cost between two iteration budgets)
+    read_res = lambda r: float(r.resnorm)
     t_lo, res_lo = _timed(
-        lambda b: lsqr(A, b, maxiter=LO, tol=0.0), [(b,) for b in bs]
+        lambda b: lsqr(A, b, maxiter=LO, tol=0.0), read_res, [(b,) for b in bs]
     )
     t_hi, res_hi = _timed(
-        lambda b: lsqr(A, b, maxiter=HI, tol=0.0), [(b,) for b in bs]
+        lambda b: lsqr(A, b, maxiter=HI, tol=0.0), read_res, [(b,) for b in bs]
     )
     assert int(res_hi.iterations) == HI and int(res_lo.iterations) == LO
     iters_per_s = (HI - LO) / max(t_hi - t_lo, 1e-9)
 
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
-        lambda m, k: lax.fori_loop(0, k, lambda i, v: A.H(A(v)) * (1.0 - 1e-9), m)
+        lambda m, k: jnp.sum(
+            lax.fori_loop(0, k, lambda i, v: A.H(A(v)) * (1.0 - 1e-9), m)
+        )
     )
     ms = [m_true + 1e-5 * i for i in range(4)]
     jax.block_until_ready(ms)
-    t1, _ = _timed(pair, [(m, 5) for m in ms])
-    t2, _ = _timed(pair, [(m, 2005) for m in ms])
+    read_s = lambda r: float(r)
+    t1, _ = _timed(pair, read_s, [(m, 5) for m in ms])
+    t2, _ = _timed(pair, read_s, [(m, 2005) for m in ms])
     pair_ms = (t2 - t1) / 2000 * 1e3
     matvecs_per_s = 2 * 2000 / max(t2 - t1, 1e-9)
 

@@ -196,13 +196,16 @@ def block_operator(rows: Sequence[Sequence], *, dadom: bool = False) -> Operator
 
 
 def nblocks(op: Operator):
-    """(nrows, ncols) of a block operator (reference src/Jets.jl:1074-1077)."""
-    if is_block_op(op):
-        ops = op.jet.state["ops"]
-        return (len(ops), len(ops[0]))
+    """(nrows, ncols) of a block operator (reference src/Jets.jl:1074-1077).
+
+    The adjoint check must come first: an AdjointOperator shares its
+    underlying jet, so ``is_block_op`` is true for it too."""
     if isinstance(op, AdjointOperator):
         r, c = nblocks(op.op)
         return (c, r)
+    if is_block_op(op):
+        ops = op.jet.state["ops"]
+        return (len(ops), len(ops[0]))
     if is_composite(op):
         rows = cols = 1
         children = op.jet.state["ops"]
@@ -222,13 +225,14 @@ def getblock(op: Operator, i: int, j: int = 0) -> Operator:
     (reference src/Jets.jl:1088); through a composition, the (i, j) block of
     each blocky factor is composed (src/Jets.jl:1100-1110).
     """
-    if is_block_op(op):
-        return op.jet.state["ops"][i][j]
     if isinstance(op, AdjointOperator):
+        # adjoint first — it shares the block jet, so is_block_op is true
         inner = getblock(op.op, j, i)
         if not isinstance(inner, LinearOperator):
             raise TypeError("adjoint block of a nonlinear child")
         return inner.H
+    if is_block_op(op):
+        return op.jet.state["ops"][i][j]
     if is_composite(op):
         from .algebra import compose
 

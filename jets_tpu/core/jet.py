@@ -278,21 +278,29 @@ class Operator:
     def __call__(self, m):
         return self.jet.apply_f(m)
 
-    def __matmul__(self, other):
-        from . import algebra  # local import to avoid cycle
-
-        if isinstance(other, Operator):
-            return algebra.compose(self, other)
-        return self(other)
-
-    def __mul__(self, other):
+    def _compose_or_apply(self, other):
+        """``A @ B`` composes when ``B`` is an operator; a raw 2-D array that
+        is NOT a member of the domain is auto-wrapped into a matrix operator
+        and composed (reference matrix interop, src/Jets.jl:573-576);
+        anything shaped like a domain member is applied."""
         from . import algebra
 
         if isinstance(other, Operator):
             return algebra.compose(self, other)
+        shp = getattr(other, "shape", None)
+        if shp is not None and tuple(shp) != self.dom.shape and len(shp) == 2:
+            return algebra.compose(self, algebra._wrap(jnp.asarray(other)))
+        return self(other)
+
+    def __matmul__(self, other):
+        return self._compose_or_apply(other)
+
+    def __mul__(self, other):
+        from . import algebra
+
         if jnp.isscalar(other) or isinstance(other, (int, float, complex)):
             return algebra.scale(other, self)
-        return self(other)
+        return self._compose_or_apply(other)
 
     def __rmul__(self, a):
         from . import algebra

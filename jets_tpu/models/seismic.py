@@ -148,12 +148,15 @@ def make_seismic_problem(
     A = make_seismic_operator(
         grid_shape, nshots, nreceivers, k_op, mesh=mesh, dtype=dtype
     )
-    # sparse spike reflectivity
+    # sparse spike reflectivity over a weak smooth background (the background
+    # keeps the data nonzero even when few receivers neighbor a spike)
+    k_s, k_bg = jax.random.split(k_m)
     flat = jnp.zeros((A.dom.size,), dtype)
     spikes = jax.random.choice(
-        k_m, flat.shape[0], (max(4, flat.shape[0] // 200),), replace=False
+        k_s, flat.shape[0], (max(4, flat.shape[0] // 200),), replace=False
     )
-    m_true = jnp.reshape(flat.at[spikes].set(1.0), A.dom.shape)
+    bg = 0.05 * jax.random.normal(k_bg, (A.dom.size,), dtype)
+    m_true = jnp.reshape(flat.at[spikes].set(1.0) + bg, A.dom.shape)
     d_obs = A(m_true)
     if noise > 0:
         scale = noise * jnp.std(d_obs)
