@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -84,10 +85,33 @@ def _laplacian_df(dm, m0, state):
     return out
 
 
-def laplacian_operator(shape: Sequence[int], dtype=jnp.float32) -> LinearOperator:
+def _laplacian_pallas_df(dm, m0, state):
+    from .pallas_stencil import laplacian2d_pallas
+
+    return laplacian2d_pallas(dm, interpret=state["interpret"])
+
+
+def laplacian_operator(
+    shape: Sequence[int], dtype=jnp.float32, *, impl: str = "xla"
+) -> LinearOperator:
     """Second-order n-D Laplacian stencil — the seismic-style wave-operator
     building block of BASELINE config #5. Self-adjoint (symmetric stencil,
-    zero boundary)."""
+    zero boundary).
+
+    ``impl="xla"`` (default): shift-and-add slices — measured at the HBM
+    bandwidth bound on TPU v5e (0.022 ms for a 2048² f32 grid).
+    ``impl="pallas"``: the hand-written VMEM pipeline in
+    ``pallas_stencil.py`` (2-D float32 only) — bit-exact, currently ~2x the
+    XLA time because of its pre-padding pass; kept as the kernel-path
+    template for fused epilogues. On CPU backends it runs in interpret mode.
+    """
     sp = Space(shape, dtype)
-    j = Jet(dom=sp, rng=sp, df=_laplacian_df, dft="self")
+    if impl == "pallas":
+        if len(shape) != 2 or jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("pallas laplacian supports 2-D float32 grids")
+        interpret = jax.default_backend() == "cpu"
+        j = Jet(dom=sp, rng=sp, df=_laplacian_pallas_df, dft="self",
+                state={"interpret": interpret})
+    else:
+        j = Jet(dom=sp, rng=sp, df=_laplacian_df, dft="self")
     return LinearOperator(j)

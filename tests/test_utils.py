@@ -75,3 +75,16 @@ def test_checkpoint_detects_corruption(tmp_path):
         assert False, "corruption not detected"
     except ValueError as e:
         assert "hash mismatch" in str(e)
+
+
+def test_instrument_perfstat():
+    from jets_tpu.ops.diagonal import diagonal_operator
+    from jets_tpu.utils.profiling import instrument, op_cost
+
+    D = diagonal_operator(jnp.arange(1.0, 9.0))
+    Di = instrument(D)
+    stat = jt.perfstat(Di)
+    assert stat["bytes_in"] == 8 * 8 and stat["bytes_out"] == 8 * 8
+    # surfaces through combinators like the reference perfstat
+    C = D @ Di
+    assert jt.perfstat(C) == stat
