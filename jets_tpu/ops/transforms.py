@@ -1,0 +1,119 @@
+"""Transform and structural operators — the JetPackTransforms/JetPack-style
+companion ops (named in the reference docs ``docs/src/index.md:14-19``):
+DCT, identity, zero-padding and restriction/cropping.
+
+All are linear with hand-written adjoints (orthonormal DCT is unitary;
+padding and restriction are mutual adjoints), gated by the dot-product test
+in the suite.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.jet import Jet, LinearOperator
+from ..core.spaces import Space
+
+__all__ = [
+    "dct_operator",
+    "identity_operator",
+    "pad_operator",
+    "restriction_operator",
+]
+
+
+def _dct_df(dm, m0, state):
+    out = dm
+    for ax in range(dm.ndim):
+        out = jax.scipy.fft.dct(out, norm="ortho", axis=ax)
+    return out
+
+
+def _dct_dft(dd, m0, state):
+    out = dd
+    for ax in range(dd.ndim):
+        out = jax.scipy.fft.idct(out, norm="ortho", axis=ax)
+    return out
+
+
+def dct_operator(space: Space) -> LinearOperator:
+    """Orthonormal type-II DCT over every axis; adjoint = inverse DCT
+    (unitary)."""
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("dct_operator needs a real floating space")
+    j = Jet(dom=space, rng=space, df=_dct_df, dft=_dct_dft)
+    return LinearOperator(j)
+
+
+def _id_df(dm, m0, state):
+    return dm
+
+
+def identity_operator(space: Space) -> LinearOperator:
+    j = Jet(dom=space, rng=space, df=_id_df, dft="self")
+    return LinearOperator(j)
+
+
+def _pad_df(dm, m0, state):
+    pads = state["pads"]
+    return jnp.pad(dm, pads)
+
+
+def _pad_dft(dd, m0, state):
+    pads = state["pads"]
+    sl = tuple(slice(lo, dd.shape[i] - hi) for i, (lo, hi) in enumerate(pads))
+    return dd[sl]
+
+
+def pad_operator(space: Space, pads: Sequence[Tuple[int, int]]) -> LinearOperator:
+    """Zero-padding ``dom -> padded range``; the adjoint is the restriction
+    (crop) back — mutual adjoints, exact."""
+    pads = tuple((int(lo), int(hi)) for lo, hi in pads)
+    if len(pads) != space.ndim:
+        raise ValueError(f"need {space.ndim} pad pairs, got {len(pads)}")
+    out_shape = tuple(
+        s + lo + hi for s, (lo, hi) in zip(space.shape, pads)
+    )
+    j = Jet(
+        dom=space,
+        rng=Space(out_shape, space.dtype),
+        df=_pad_df,
+        dft=_pad_dft,
+        state={"pads": pads},
+    )
+    return LinearOperator(j)
+
+
+def restriction_operator(
+    space: Space, window: Sequence[Tuple[int, int]]
+) -> LinearOperator:
+    """Crop to ``window`` (per-axis (start, stop)); adjoint zero-pads back —
+    the standard data-windowing operator of inversion workflows."""
+    window = tuple((int(a), int(b)) for a, b in window)
+    if len(window) != space.ndim:
+        raise ValueError(f"need {space.ndim} window pairs, got {len(window)}")
+    for (a, b), s in zip(window, space.shape):
+        if not (0 <= a < b <= s):
+            raise ValueError(f"window {window} out of bounds for {space.shape}")
+    out_shape = tuple(b - a for a, b in window)
+    pads = tuple(
+        (a, s - b) for (a, b), s in zip(window, space.shape)
+    )
+
+    def _r_df(dm, m0, state):
+        sl = tuple(slice(a, b) for a, b in state["window"])
+        return dm[sl]
+
+    def _r_dft(dd, m0, state):
+        return jnp.pad(dd, state["pads"])
+
+    j = Jet(
+        dom=space,
+        rng=Space(out_shape, space.dtype),
+        df=_r_df,
+        dft=_r_dft,
+        state={"window": window, "pads": pads},
+    )
+    return LinearOperator(j)

@@ -1,3 +1,4 @@
+from .gauss_newton import gauss_newton, GNResult
 from .krylov import (
     cg,
     cgls,
@@ -7,4 +8,5 @@ from .krylov import (
     LSQRState,
 )
 
-__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState"]
+__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState",
+           "gauss_newton", "GNResult"]

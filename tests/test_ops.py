@@ -119,3 +119,28 @@ def test_pallas_laplacian_matches_xla():
     np.testing.assert_allclose(np.asarray(Lp(m)), np.asarray(Lx(m)), atol=1e-6)
     lhs, rhs = jt.dot_product_test(Lp, m, Lp.rng.randn(jax.random.PRNGKey(43)))
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def test_transform_operator_gates():
+    from jets_tpu.ops.transforms import (
+        dct_operator, identity_operator, pad_operator, restriction_operator)
+
+    ops = {
+        "dct2d": dct_operator(jt.Space((12, 10), jnp.float64)),
+        "identity": identity_operator(jt.Space((9,), jnp.float64)),
+        "pad": pad_operator(jt.Space((6, 7), jnp.float64), [(1, 2), (0, 3)]),
+        "restrict": restriction_operator(jt.Space((10, 8), jnp.float64),
+                                         [(2, 9), (1, 8)]),
+    }
+    for name, A in ops.items():
+        _gate(A)
+    # dct unitary round trip
+    D = ops["dct2d"]
+    m = D.dom.randn(jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(D.H(D(m))), np.asarray(m),
+                               rtol=1e-10, atol=1e-12)
+    # pad/restrict mutual adjoints materialize as transposes
+    P = ops["pad"]
+    MP = jt.materialize(P)
+    MPH = jt.materialize(P.H)
+    np.testing.assert_allclose(np.asarray(MP).T, np.asarray(MPH))
