@@ -38,7 +38,7 @@ from jax import lax
 from ..core.jet import Jet, LinearOperator, Operator
 from ..core.spaces import Space
 
-__all__ = ["wave_propagator", "born_operator"]
+__all__ = ["wave_propagator", "born_operator", "multishot_wave_operator"]
 
 
 def _laplacian(u):
@@ -95,7 +95,11 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge, remat_blocks
 
     step = jax.checkpoint(step, prevent_cse=False)
 
-    u0 = jnp.zeros(shape, c.dtype)
+    # seed the carry with a src-derived zero so its batching/varying type
+    # already matches the loop body's output under vmap/shard_map (the body
+    # scatters at src_idx, which is per-shot data)
+    zero = (src_idx * 0).astype(c.dtype)
+    u0 = jnp.zeros(shape, c.dtype) + zero
     (_, _), traces = lax.scan(step, (u0, u0), src_wavelet)
     return traces
 
@@ -165,3 +169,72 @@ def born_operator(F: Operator, c0) -> LinearOperator:
     propagator pinned at background velocity ``c0``. Forward = demigration,
     adjoint = migration (reverse-time imaging condition)."""
     return F.linearize(c0)
+
+
+# ---------------------------------------------------------------------------
+# Multi-shot modeling — the true BASELINE config #5 workload: an FD
+# propagator per shot gather, shots stacked on a leading axis and sharded
+# over the mesh "block" axis (DistributedJets' structure with real physics).
+# ---------------------------------------------------------------------------
+
+
+def multishot_wave_operator(
+    grid_shape: Sequence[int],
+    src_indices,
+    *,
+    nt: int = 128,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    mesh=None,
+    axis: str = "block",
+    dtype=jnp.float32,
+) -> Operator:
+    """Nonlinear multi-shot modeling ``F: c -> (nshots, nt, nrcv)``.
+
+    Per-shot state is the source location; receivers are a fixed shared
+    array. Forward/tangent vmap the leapfrog propagator over shots (and
+    shard over the mesh block axis); the adjoint is the per-shot reverse
+    propagation summed across shots — a ``psum`` over ICI in the sharded
+    case, exactly the reference's block-adjoint accumulation.
+    """
+    from ..parallel.sharded import stacked_block_operator
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    sp = Space(grid_shape, dtype)
+    src_indices = jnp.asarray(src_indices, jnp.int32)
+    nshots = int(src_indices.shape[0])
+    if rcv_idx is None:
+        n = sp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+
+    def shot_f(c, bs):
+        return _propagate(
+            c, bs["wavelet"], bs["src"], bs["rcv"],
+            dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=1,
+        )
+
+    def shot_df(dc, c0, bs):
+        _, tangent = jax.jvp(lambda c: shot_f(c, bs), (c0,), (dc,))
+        return tangent
+
+    # NO per-shot dft: an autodiff vjp inside the shard would already psum
+    # over the block axis (transpose of the implicit pvary of the replicated
+    # model), and the stacked adjoint's psum would double-count. The adjoint
+    # is the jet-level linear transpose of the WHOLE sharded tangent.
+    return stacked_block_operator(
+        nblocks=nshots,
+        dom=sp,
+        rng_block=Space((nt, int(rcv_idx.shape[0])), dtype),
+        bstate={"src": src_indices},
+        sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
+        f=shot_f,
+        df=shot_df,
+        mesh=mesh,
+        axis=axis,
+    )

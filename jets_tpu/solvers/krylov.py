@@ -71,20 +71,27 @@ def cg(
     *,
     maxiter: int = 100,
     tol: float = 1e-6,
+    M: Optional[LinearOperator] = None,
     state: Optional[CGState] = None,
 ) -> SolveResult:
-    """Conjugate gradients on a Hermitian positive-definite operator.
+    """(Preconditioned) conjugate gradients on a Hermitian positive-definite
+    operator.
 
     ``A`` must be self-adjoint on its space; this is exactly what the
-    dot-product gate (``verify.dot_product_test``) certifies.
+    dot-product gate (``verify.dot_product_test``) certifies. ``M`` is an
+    optional SPD preconditioner applying the approximate INVERSE of ``A``
+    (e.g. a diagonal/Jacobi operator); with ``M`` set, ``rho`` tracks
+    ``<r, M r>`` and the stopping test still uses the true residual norm.
     """
     dom = A.dom
     bnorm = dom.norm(b)
+    precond = (lambda r: M(r)) if M is not None else (lambda r: r)
     if state is None:
         x = dom.zeros() if x0 is None else x0
         r = tr.sub(b, A(x))
-        p = r
-        rho = _real(dom.dot(r, r))
+        z = precond(r)
+        p = z
+        rho = _real(dom.dot(r, z))
         st = CGState(x, r, p, rho, jnp.asarray(0))
     else:
         st = state
@@ -92,7 +99,7 @@ def cg(
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (jnp.sqrt(st.rho) > tol * bnorm)
+        return (st.i < maxiter) & (dom.norm(st.r) > tol * bnorm)
 
     def body(carry):
         st, hist = carry
@@ -100,14 +107,15 @@ def cg(
         alpha = st.rho / _real(dom.dot(st.p, q))
         x = tr.xpay(st.x, alpha, st.p)
         r = tr.xpay(st.r, -alpha, q)
-        rho_new = _real(dom.dot(r, r))
+        z = precond(r)
+        rho_new = _real(dom.dot(r, z))
         beta = rho_new / st.rho
-        p = tr.xpay(r, beta, st.p)
-        hist = hist.at[st.i].set(jnp.sqrt(rho_new))
+        p = tr.xpay(z, beta, st.p)
+        hist = hist.at[st.i].set(dom.norm(r))
         return CGState(x, r, p, rho_new, st.i + 1), hist
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
-    return SolveResult(st.x, st.i, jnp.sqrt(st.rho), hist, st)
+    return SolveResult(st.x, st.i, dom.norm(st.r), hist, st)
 
 
 # ---------------------------------------------------------------------------

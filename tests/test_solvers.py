@@ -94,3 +94,21 @@ def test_cg_on_block_operator():
     x2 = jnp.linalg.solve(A2, b.getblock(1))
     np.testing.assert_allclose(res.x.getblock(0), x1, rtol=1e-7)
     np.testing.assert_allclose(res.x.getblock(1), x2, rtol=1e-7)
+
+
+def test_pcg_jacobi_beats_plain_cg():
+    """Preconditioned CG with a Jacobi (diagonal-inverse) operator converges
+    in fewer iterations on a badly scaled SPD system."""
+    n = 80
+    key = jax.random.PRNGKey(20)
+    scales = 10.0 ** jnp.linspace(0, 4, n)
+    M0 = jax.random.normal(key, (n, n), jnp.float64) / jnp.sqrt(n)
+    A_dense = jnp.diag(scales) + M0 @ M0.T
+    op = matrix_operator(A_dense)
+    b = jax.random.normal(jax.random.PRNGKey(21), (n,), jnp.float64)
+    plain = cg(op, b, maxiter=300, tol=1e-10)
+    M = diagonal_operator(1.0 / jnp.diag(A_dense))
+    pre = cg(op, b, maxiter=300, tol=1e-10, M=M)
+    x_ref = jnp.linalg.solve(A_dense, b)
+    np.testing.assert_allclose(np.asarray(pre.x), np.asarray(x_ref), rtol=1e-6)
+    assert int(pre.iterations) < int(plain.iterations)
