@@ -70,7 +70,10 @@ def _sponge(shape, width: int, strength: float = 0.015):
 
 
 def _ricker(nt: int, dt: float, freq: float, dtype=jnp.float32):
-    t = jnp.arange(nt, dtype=dtype) * dt - 1.0 / freq
+    # delay so the peak fires well inside the simulated window even for
+    # short runs (standard 1/freq delay, capped at a quarter of the window)
+    t0 = min(1.0 / freq, 0.25 * nt * dt)
+    t = jnp.arange(nt, dtype=dtype) * dt - t0
     a = (jnp.pi * freq * t) ** 2
     return ((1 - 2 * a) * jnp.exp(-a)).astype(dtype)
 

@@ -3,10 +3,12 @@ from .krylov import (
     cg,
     cgls,
     lsqr,
+    lsmr,
     CGState,
     CGLSState,
     LSQRState,
+    LSMRState,
 )
 
-__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState",
+__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState", "lsmr", "LSMRState",
            "gauss_newton", "GNResult"]

@@ -48,6 +48,7 @@ def gauss_newton(
     """Gauss–Newton with a matrix-free Krylov inner solve (default CGLS)."""
     solve = inner_solver if inner_solver is not None else cgls
     m = m0
+    dnorm = float(F.rng.norm(d))
     residuals = []
     inner_its = []
     for k in range(outer_iters):
@@ -56,6 +57,8 @@ def gauss_newton(
         residuals.append(rnorm)
         if callback is not None:
             callback(k, m, rnorm)
+        if rnorm <= 1e-12 * max(dnorm, 1e-30):
+            break  # already at the data; an inner solve on ~0 would NaN
         J = F.linearize(m)
         res = solve(J, r, maxiter=inner_iters, tol=inner_tol)
         inner_its.append(int(res.iterations))

@@ -35,7 +35,7 @@ from jax import lax
 from ..core.jet import LinearOperator
 from ..utils import tree as tr
 
-__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState"]
+__all__ = ["cg", "cgls", "lsqr", "lsmr", "CGState", "CGLSState", "LSQRState", "LSMRState"]
 
 
 def _real(x):
@@ -104,12 +104,15 @@ def cg(
     def body(carry):
         st, hist = carry
         q = A(st.p)
-        alpha = st.rho / _real(dom.dot(st.p, q))
+        pq = _real(dom.dot(st.p, q))
+        alpha = jnp.where(pq > 0, st.rho / jnp.where(pq > 0, pq, 1.0), 0.0)
         x = tr.xpay(st.x, alpha, st.p)
         r = tr.xpay(st.r, -alpha, q)
         z = precond(r)
         rho_new = _real(dom.dot(r, z))
-        beta = rho_new / st.rho
+        beta = jnp.where(
+            st.rho > 0, rho_new / jnp.where(st.rho > 0, st.rho, 1.0), 0.0
+        )
         p = tr.xpay(z, beta, st.p)
         hist = hist.at[st.i].set(dom.norm(r))
         return CGState(x, r, p, rho_new, st.i + 1), hist
@@ -174,12 +177,16 @@ def cgls(
         st, hist = carry
         q = A(st.p)
         delta = _real(rng.dot(q, q))
-        alpha = st.gamma / delta
+        # guarded divisions: at exact convergence delta/gamma collapse to 0;
+        # idle (alpha=beta=0) instead of poisoning the carry with NaN
+        alpha = jnp.where(delta > 0, st.gamma / jnp.where(delta > 0, delta, 1.0), 0.0)
         x = tr.xpay(st.x, alpha, st.p)
         r = tr.xpay(st.r, -alpha, q)
         s = A.adjoint_apply(r)
         gamma_new = _real(dom.dot(s, s))
-        beta = gamma_new / st.gamma
+        beta = jnp.where(
+            st.gamma > 0, gamma_new / jnp.where(st.gamma > 0, st.gamma, 1.0), 0.0
+        )
         p = tr.xpay(s, beta, st.p)
         hist = hist.at[st.i].set(rng.norm(r))
         return CGLSState(x, r, s, p, gamma_new, st.i + 1), hist
@@ -288,3 +295,130 @@ def lsqr(
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
     return SolveResult(st.x, st.i, jnp.abs(st.phibar), hist, st)
+
+
+# ---------------------------------------------------------------------------
+# LSMR — Fong & Saunders (2011): MINRES applied to the normal equations via
+# Golub-Kahan bidiagonalization. Monotonic in ||A'r||; the standard
+# companion to LSQR (IterativeSolvers.jl ships both — the reference's docs
+# route solves through that package, docs/src/index.md:238-246).
+# ---------------------------------------------------------------------------
+
+
+class LSMRState(NamedTuple):
+    x: Any
+    u: Any
+    v: Any
+    h: Any        # search direction
+    hbar: Any     # second recurrence direction
+    alpha: jax.Array
+    alphabar: jax.Array
+    zeta: jax.Array
+    zetabar: jax.Array
+    rho: jax.Array
+    rhobar: jax.Array
+    cbar: jax.Array
+    sbar: jax.Array
+    i: jax.Array
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def lsmr(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    damp: float = 0.0,
+    state: Optional[LSMRState] = None,
+) -> SolveResult:
+    """LSMR for ``min ||A x - b||^2 + damp^2 ||x||^2``.
+
+    Same per-iteration cost as LSQR (one forward + one adjoint apply, fused
+    scalar recurrences) but monotonically decreases ``||A' r||`` — often the
+    better stopping behavior for ill-conditioned inversion. The history
+    buffer records the ``||A' r||`` estimate ``|zetabar|``.
+    """
+    dom, rng = A.dom, A.rng
+
+    def _normalize(space, vct):
+        n = space.norm(vct)
+        safe = jnp.where(n > 0, n, 1.0)
+        return tr.scale(1.0 / safe, vct), n
+
+    def _sym_ortho(a, bb):
+        r = jnp.sqrt(a**2 + bb**2)
+        rsafe = jnp.where(r > 0, r, 1.0)
+        c = jnp.where(r > 0, a / rsafe, 1.0)
+        s = jnp.where(r > 0, bb / rsafe, 0.0)
+        return c, s, r
+
+    damp = jnp.asarray(damp)
+
+    if state is None:
+        if x0 is None:
+            x = dom.zeros()
+            r0 = b
+        else:
+            x = x0
+            r0 = tr.sub(b, A(x))
+        u, beta = _normalize(rng, r0)
+        v, alpha = _normalize(dom, A.adjoint_apply(u))
+        zetabar = alpha * beta
+        st = LSMRState(
+            x=x, u=u, v=v, h=v, hbar=tr.scale(0.0, v),
+            alpha=alpha, alphabar=alpha, zeta=jnp.zeros_like(alpha),
+            zetabar=zetabar, rho=jnp.ones_like(alpha),
+            rhobar=jnp.ones_like(alpha), cbar=jnp.ones_like(alpha),
+            sbar=jnp.zeros_like(alpha), i=jnp.asarray(0),
+        )
+        norm_atb = zetabar  # ||A'b|| estimate for the stopping test
+    else:
+        st = state
+        norm_atb = dom.norm(A.adjoint_apply(b))
+    damp = damp.astype(st.zetabar.dtype)
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.zetabar.dtype)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.i < maxiter) & (jnp.abs(st.zetabar) > tol * norm_atb)
+
+    def body(carry):
+        st, hist = carry
+        # Golub-Kahan step
+        u_next = tr.axpy(-st.alpha, st.u, A(st.v))
+        u_next, beta = _normalize(rng, u_next)
+        v_next = tr.axpy(-beta, st.v, A.adjoint_apply(u_next))
+        v_next, alpha = _normalize(dom, v_next)
+        # rotation eliminating damp
+        chat, shat, alphahat = _sym_ortho(st.alphabar, damp)
+        # rotation on the bidiagonal
+        rho_old = st.rho
+        c, s, rho = _sym_ortho(alphahat, beta)
+        thetanew = s * alpha
+        alphabar = c * alpha
+        # second rotation (MINRES part)
+        rhobar_old = st.rhobar
+        thetabar = st.sbar * rho
+        cbar_rho = st.cbar * rho
+        cbar, sbar, rhobar = _sym_ortho(cbar_rho, thetanew)
+        zeta = cbar * st.zetabar
+        zetabar = -sbar * st.zetabar
+        # updates
+        rho_s = jnp.where(rho_old > 0, rho_old, 1.0)
+        rb_s = jnp.where(rhobar_old > 0, rhobar_old, 1.0)
+        hbar = tr.axpy(-(thetabar * rho) / (rho_s * rb_s), st.hbar, st.h)
+        rrb = jnp.where(rho * rhobar > 0, rho * rhobar, 1.0)
+        x = tr.xpay(st.x, zeta / rrb, hbar)
+        h = tr.axpy(-(thetanew / jnp.where(rho > 0, rho, 1.0)), st.h, v_next)
+        hist = hist.at[st.i].set(jnp.abs(zetabar))
+        return (
+            LSMRState(x=x, u=u_next, v=v_next, h=h, hbar=hbar, alpha=alpha,
+                      alphabar=alphabar, zeta=zeta, zetabar=zetabar, rho=rho,
+                      rhobar=rhobar, cbar=cbar, sbar=sbar, i=st.i + 1),
+            hist,
+        )
+
+    st, hist = lax.while_loop(cond, body, (st, hist0))
+    return SolveResult(st.x, st.i, jnp.abs(st.zetabar), hist, st)

@@ -112,3 +112,31 @@ def test_pcg_jacobi_beats_plain_cg():
     x_ref = jnp.linalg.solve(A_dense, b)
     np.testing.assert_allclose(np.asarray(pre.x), np.asarray(x_ref), rtol=1e-6)
     assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_lsmr_matches_lstsq():
+    m, n = 70, 28
+    M = jax.random.normal(jax.random.PRNGKey(30), (m, n), jnp.float64)
+    op = matrix_operator(M)
+    b = jax.random.normal(jax.random.PRNGKey(31), (m,), jnp.float64)
+    from jets_tpu.solvers import lsmr
+    res = lsmr(op, b, maxiter=300, tol=1e-13)
+    x_ref, *_ = jnp.linalg.lstsq(M, b)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-8)
+    # ||A'r|| history is monotone non-increasing (LSMR's defining property)
+    h = np.asarray(res.history)[: int(res.iterations)]
+    assert np.all(np.diff(h) <= 1e-10)
+
+
+def test_lsmr_damped():
+    m, n = 50, 50
+    M = jax.random.normal(jax.random.PRNGKey(32), (m, n), jnp.float64)
+    op = matrix_operator(M)
+    b = jax.random.normal(jax.random.PRNGKey(33), (m,), jnp.float64)
+    from jets_tpu.solvers import lsmr
+    damp = 0.7
+    res = lsmr(op, b, maxiter=500, tol=1e-14, damp=damp)
+    x_ref = jnp.linalg.solve(M.T @ M + damp**2 * jnp.eye(n), M.T @ b)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-7)

@@ -88,3 +88,30 @@ def test_instrument_perfstat():
     # surfaces through combinators like the reference perfstat
     C = D @ Di
     assert jt.perfstat(C) == stat
+
+
+def test_guards_detect_nonfinite():
+    from jax.experimental import checkify
+    from jets_tpu.utils.guards import checked, assert_finite
+    from jets_tpu.ops.diagonal import diagonal_operator
+
+    bad = diagonal_operator(jnp.array([1.0, jnp.inf, 3.0]))
+    ok = diagonal_operator(jnp.array([1.0, 2.0, 3.0]))
+    m = jnp.ones(3)
+
+    err, out = checkify.checkify(lambda: checked(bad, "bad")(m))()
+    try:
+        err.throw()
+        assert False, "expected checkify error"
+    except Exception as e:
+        assert "non-finite output of bad" in str(e)
+
+    err, out = checkify.checkify(lambda: checked(ok, "ok")(m))()
+    err.throw()  # no error
+    np.testing.assert_allclose(out, jnp.array([1.0, 2.0, 3.0]))
+
+    try:
+        assert_finite({"x": jnp.array([1.0, jnp.nan])}, "state")
+        assert False
+    except FloatingPointError as e:
+        assert "NaN" in str(e)
