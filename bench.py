@@ -17,9 +17,17 @@ Timing methodology (hard-won on the axon TPU tunnel):
   two iteration budgets, cancelling fixed dispatch/read overhead.
 """
 import json
+import sys
 import time
 
 import jax
+
+
+def _stage(msg, _t0=[None]):
+    if _t0[0] is None:
+        _t0[0] = time.time()
+    print(f"[bench +{time.time() - _t0[0]:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 # Persistent compilation cache: remote (tunnel) compiles of the jitted LSQR
 # take minutes cold; cached reruns start in seconds. /tmp persists for the
@@ -62,6 +70,7 @@ def _timed(fn, read_scalar, args_per_rep):
 
 
 def main():
+    _stage("building problem")
     # 5% observation noise keeps the LS problem inconsistent so the solver
     # runs its full iteration budget (no early exact-fit exit).
     A, m_true, d_obs = make_seismic_problem(
@@ -71,15 +80,18 @@ def main():
     # distinct right-hand sides per repetition (defeats the result cache)
     bs = [d_obs * (1.0 + 1e-5 * i) for i in range(4)]
     jax.block_until_ready(bs)
+    _stage("problem ready; compiling/timing lsqr LO")
 
     # ---- LSQR iterations/s (marginal cost between two iteration budgets)
     read_res = lambda r: float(r.resnorm)
     t_lo, res_lo = _timed(
         lambda b: lsqr(A, b, maxiter=LO, tol=0.0), read_res, [(b,) for b in bs]
     )
+    _stage(f"lsqr LO done ({t_lo*1e3:.0f} ms/call); lsqr HI")
     t_hi, res_hi = _timed(
         lambda b: lsqr(A, b, maxiter=HI, tol=0.0), read_res, [(b,) for b in bs]
     )
+    _stage(f"lsqr HI done ({t_hi*1e3:.0f} ms/call); matvec pair loop")
     assert int(res_hi.iterations) == HI and int(res_lo.iterations) == LO
     iters_per_s = (HI - LO) / max(t_hi - t_lo, 1e-9)
 
@@ -96,6 +108,7 @@ def main():
     t2, _ = _timed(pair, read_s, [(m, 2005) for m in ms])
     pair_ms = (t2 - t1) / 2000 * 1e3
     matvecs_per_s = 2 * 2000 / max(t2 - t1, 1e-9)
+    _stage("matvec pair done; emitting result")
 
     resid_rel = float(res_hi.resnorm) / float(A.rng.norm(d_obs))
 
