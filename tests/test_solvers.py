@@ -140,3 +140,20 @@ def test_lsmr_damped():
     x_ref = jnp.linalg.solve(M.T @ M + damp**2 * jnp.eye(n), M.T @ b)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_ref),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_lsqr_heterogeneous_block_range():
+    """LSQR runs directly on an operator whose range is a heterogeneous
+    BlockSpace — BlockVectors flow through the whole Krylov recurrence."""
+    k = jax.random.PRNGKey(40)
+    k1, k2 = jax.random.split(k)
+    A1 = matrix_operator(jax.random.normal(k1, (9, 6), jnp.float64))
+    A2 = matrix_operator(jax.random.normal(k2, (4, 6), jnp.float64))
+    B = jt.block_operator([[A1], [A2]])  # tall column: dom = child dom
+    assert B.dom.shape == (6,)
+    x_true = jax.random.normal(jax.random.PRNGKey(41), (6,), jnp.float64)
+    b = B(x_true)
+    from jets_tpu.solvers import lsqr
+    res = lsqr(B, b, maxiter=100, tol=1e-13)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true),
+                               rtol=1e-8)

@@ -115,3 +115,25 @@ def test_guards_detect_nonfinite():
         assert False
     except FloatingPointError as e:
         assert "NaN" in str(e)
+
+
+def test_shot_gather_loader_roundtrip(tmp_path):
+    from jets_tpu.utils.dataloader import ShotGatherStore, ShotGatherLoader
+
+    data = np.arange(16 * 5 * 7, dtype=np.float32).reshape(16, 5, 7)
+    p = os.path.join(tmp_path, "shots.bin")
+    store = ShotGatherStore.create(p, data)
+    loader = ShotGatherLoader(store, batch_shots=4, queue_depth=2)
+    assert loader.native, "native loader failed to build"
+    got = {}
+    for idx, block in loader:
+        assert block.shape == (4, 5, 7)
+        got[idx] = block
+    assert sorted(got) == [0, 1, 2, 3]
+    np.testing.assert_array_equal(
+        np.concatenate([got[i] for i in range(4)]), data)
+    # second pass works (fresh handle), bad batch size raises
+    assert sum(1 for _ in loader) == 4
+    import pytest
+    with pytest.raises(ValueError):
+        ShotGatherLoader(store, batch_shots=3)
