@@ -1,0 +1,79 @@
+"""Operator packs — the in-repo equivalent of the reference ecosystem's
+companion packages (``JetPack``, ``JetPackDSP``, ``JetPackTransforms``,
+``JetPackWaveFD``, named in ``/root/reference/docs/src/index.md:14-19``).
+
+Submodules are importable directly (``jets_tpu.ops.diagonal`` …); the
+common constructors are re-exported here for convenience.
+"""
+from .conv import conv1d_operator, derivative_operator
+from .diagonal import diagonal_operator
+from .dsp import (
+    bandpass_operator,
+    mute_operator,
+    resample_operator,
+    shift_operator,
+    taper_operator,
+)
+from .elementwise import (
+    atan_operator,
+    cos_operator,
+    exp_operator,
+    log_operator,
+    nonlinear_elementwise,
+    power_operator,
+    sigmoid_operator,
+    sin_operator,
+    sqrt_operator,
+    square_operator,
+    tanh_operator,
+)
+from .fft import fft_operator, rfft_operator
+from .matrix import matrix_operator
+from .stencil import blur2d_operator, laplacian_operator, stencil_operator
+from .transforms import (
+    dct_operator,
+    identity_operator,
+    imag_operator,
+    pad_operator,
+    real_operator,
+    reshape_operator,
+    restriction_operator,
+)
+from .wavelet import WAVELETS, wavelet_operator
+
+__all__ = [
+    "conv1d_operator",
+    "derivative_operator",
+    "diagonal_operator",
+    "bandpass_operator",
+    "mute_operator",
+    "resample_operator",
+    "shift_operator",
+    "taper_operator",
+    "atan_operator",
+    "cos_operator",
+    "exp_operator",
+    "log_operator",
+    "nonlinear_elementwise",
+    "power_operator",
+    "sigmoid_operator",
+    "sin_operator",
+    "sqrt_operator",
+    "square_operator",
+    "tanh_operator",
+    "fft_operator",
+    "rfft_operator",
+    "matrix_operator",
+    "blur2d_operator",
+    "laplacian_operator",
+    "stencil_operator",
+    "dct_operator",
+    "identity_operator",
+    "imag_operator",
+    "pad_operator",
+    "real_operator",
+    "reshape_operator",
+    "restriction_operator",
+    "WAVELETS",
+    "wavelet_operator",
+]

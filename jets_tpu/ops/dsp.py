@@ -1,0 +1,201 @@
+"""Signal-processing operators — the ``JetPackDSP`` companion family.
+
+The reference repo ships no DSP ops; its ecosystem does (``JetPackDSP``,
+named in ``/root/reference/docs/src/index.md:14-19``). These are the
+seismic-workflow staples: edge tapers, band-pass filters, fractional time
+shifts, Fourier resampling, and mutes — all linear, all gated by the
+dot-product test.
+
+TPU notes: every op here is either a real diagonal in the sample domain
+(taper, mute — self-adjoint by inspection) or a diagonal in the Fourier
+domain applied through the unitary rFFT (bandpass: real mask ⇒ self-adjoint;
+shift: unimodular phase ⇒ adjoint = conjugate phase). Fourier resampling's
+adjoint is derived via ``jax.linear_transpose``. Everything is static-shape
+``jnp`` code that XLA fuses around the FFTs.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.jet import Jet, LinearOperator
+from ..core.spaces import Space
+from .diagonal import diagonal_operator
+
+__all__ = [
+    "taper_operator",
+    "bandpass_operator",
+    "shift_operator",
+    "resample_operator",
+    "mute_operator",
+]
+
+
+def _cosine_ramp(n, width, dtype):
+    """Edge weights for one axis: cosine ramp of ``width`` samples at each
+    end, flat 1 in between."""
+    w = np.ones(n, dtype=dtype)
+    if width > 0:
+        r = 0.5 * (1.0 - np.cos(np.pi * (np.arange(width) + 0.5) / width))
+        w[:width] = r
+        w[n - width:] = r[::-1]
+    return w
+
+
+def taper_operator(space: Space, widths: Sequence[int]) -> LinearOperator:
+    """Cosine edge taper: multiply by a separable weight that ramps from 0
+    at each boundary over ``widths[ax]`` samples. Real diagonal ⇒
+    self-adjoint."""
+    widths = tuple(int(w) for w in widths)
+    if len(widths) != space.ndim:
+        raise ValueError(f"need {space.ndim} widths, got {len(widths)}")
+    rdtype = np.dtype(space.dtype)
+    if rdtype.kind == "c":
+        rdtype = np.float32 if rdtype.itemsize == 8 else np.float64
+    w = np.ones(space.shape, dtype=rdtype)
+    for ax, (n, width) in enumerate(zip(space.shape, widths)):
+        if 2 * width > n:
+            raise ValueError(f"taper width {width} too large for axis {ax}")
+        shape = [1] * space.ndim
+        shape[ax] = n
+        w = w * _cosine_ramp(n, width, rdtype).reshape(shape)
+    return diagonal_operator(jnp.asarray(w, dtype=space.dtype))
+
+
+def _bandpass_mask(n, dt, f_lo, f_hi, f_taper, dtype):
+    f = np.fft.rfftfreq(n, d=dt)
+    m = np.zeros(f.shape, dtype=dtype)
+    m[(f >= f_lo) & (f <= f_hi)] = 1.0
+    if f_taper > 0.0:
+        lo_ramp = (f >= f_lo - f_taper) & (f < f_lo)
+        m[lo_ramp] = 0.5 * (1.0 - np.cos(np.pi * (f[lo_ramp] - (f_lo - f_taper)) / f_taper))
+        hi_ramp = (f > f_hi) & (f <= f_hi + f_taper)
+        m[hi_ramp] = 0.5 * (1.0 + np.cos(np.pi * (f[hi_ramp] - f_hi) / f_taper))
+    return m
+
+
+def _bp_df(dm, m0, state):
+    ax = state["axis"]
+    n = dm.shape[ax]
+    D = jnp.fft.rfft(dm, axis=ax)
+    mask = state["mask"]
+    shape = [1] * dm.ndim
+    shape[ax] = mask.shape[0]
+    return jnp.fft.irfft(D * mask.reshape(shape), n=n, axis=ax)
+
+
+def bandpass_operator(
+    space: Space,
+    dt: float,
+    f_lo: float,
+    f_hi: float,
+    f_taper: float = 0.0,
+    axis: int = -1,
+) -> LinearOperator:
+    """Zero-phase band-pass along ``axis`` (sample interval ``dt``): rFFT →
+    real cosine-tapered mask on [f_lo, f_hi] → irFFT. Real even filter ⇒
+    the operator is symmetric (self-adjoint)."""
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("bandpass_operator needs a real floating space")
+    axis = int(axis) % space.ndim
+    n = space.shape[axis]
+    mask = _bandpass_mask(n, dt, f_lo, f_hi, f_taper, np.dtype(space.dtype))
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_bp_df,
+        dft="self",
+        state={"mask": jnp.asarray(mask), "axis": axis},
+    )
+    return LinearOperator(j)
+
+
+def _shift_df(dm, m0, state):
+    ax = state["axis"]
+    n = dm.shape[ax]
+    D = jnp.fft.rfft(dm, axis=ax)
+    ph = state["phase"]
+    shape = [1] * dm.ndim
+    shape[ax] = ph.shape[0]
+    return jnp.fft.irfft(D * ph.reshape(shape), n=n, axis=ax)
+
+
+def _shift_dft(dd, m0, state):
+    ax = state["axis"]
+    n = dd.shape[ax]
+    D = jnp.fft.rfft(dd, axis=ax)
+    ph = jnp.conj(state["phase"])
+    shape = [1] * dd.ndim
+    shape[ax] = ph.shape[0]
+    return jnp.fft.irfft(D * ph.reshape(shape), n=n, axis=ax)
+
+
+def shift_operator(
+    space: Space, shift: float, dt: float = 1.0, axis: int = -1
+) -> LinearOperator:
+    """Periodic (possibly fractional) shift by ``shift`` time units along
+    ``axis``: unimodular phase ramp in the Fourier domain. Unitary; the
+    hand-written adjoint is the conjugate phase (= shift back)."""
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("shift_operator needs a real floating space")
+    axis = int(axis) % space.ndim
+    n = space.shape[axis]
+    f = np.fft.rfftfreq(n, d=dt)
+    ph = np.exp(-2j * np.pi * f * shift)
+    # keep irfft exactly real for even n: the Nyquist bin must stay real
+    if n % 2 == 0:
+        ph[-1] = np.real(ph[-1])
+    ph[0] = 1.0
+    cdtype = np.complex64 if np.dtype(space.dtype).itemsize == 4 else np.complex128
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_shift_df,
+        dft=_shift_dft,
+        state={"phase": jnp.asarray(ph, dtype=cdtype), "axis": axis},
+    )
+    return LinearOperator(j)
+
+
+def resample_operator(
+    space: Space, n_out: int, axis: int = -1
+) -> LinearOperator:
+    """Fourier (sinc) resampling along ``axis`` from ``n`` to ``n_out``
+    samples: rFFT, truncate or zero-pad the spectrum, irFFT at the new
+    length, amplitude-preserving scale ``n_out/n``. Adjoint derived via
+    ``jax.linear_transpose``."""
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("resample_operator needs a real floating space")
+    axis = int(axis) % space.ndim
+    n = space.shape[axis]
+    n_out = int(n_out)
+    k_in, k_out = n // 2 + 1, n_out // 2 + 1
+    k = min(k_in, k_out)
+    scale = float(n_out) / float(n)
+
+    def _df(dm, m0, state):
+        D = jnp.fft.rfft(dm, axis=axis)
+        sl = [slice(None)] * dm.ndim
+        sl[axis] = slice(0, k)
+        D = D[tuple(sl)]
+        if k_out > k:
+            pads = [(0, 0)] * dm.ndim
+            pads[axis] = (0, k_out - k)
+            D = jnp.pad(D, pads)
+        return scale * jnp.fft.irfft(D, n=n_out, axis=axis)
+
+    rng_shape = list(space.shape)
+    rng_shape[axis] = n_out
+    j = Jet(dom=space, rng=Space(tuple(rng_shape), space.dtype), df=_df)
+    return LinearOperator(j)
+
+
+def mute_operator(space: Space, mask) -> LinearOperator:
+    """Binary (or soft) mute: diagonal multiply by ``mask`` — the windowing
+    workhorse of seismic processing. Real mask ⇒ self-adjoint."""
+    mask = jnp.asarray(mask, dtype=space.dtype)
+    if mask.shape != space.shape:
+        raise ValueError(f"mask shape {mask.shape} != space {space.shape}")
+    return diagonal_operator(mask)

@@ -15,7 +15,19 @@ import jax.numpy as jnp
 from ..core.jet import Jet, LinearOperator, Operator
 from ..core.spaces import Space
 
-__all__ = ["square_operator", "power_operator", "nonlinear_elementwise"]
+__all__ = [
+    "square_operator",
+    "power_operator",
+    "nonlinear_elementwise",
+    "exp_operator",
+    "log_operator",
+    "sqrt_operator",
+    "tanh_operator",
+    "sigmoid_operator",
+    "atan_operator",
+    "sin_operator",
+    "cos_operator",
+]
 
 
 def _square_f(m, state):
@@ -85,3 +97,58 @@ def nonlinear_elementwise(
 
     j = Jet(dom=space, rng=space, f=_f, df=_df, dft=_dft)
     return Operator(j)
+
+
+# --- named convenience nonlinears (the JetPack elementwise family:
+# JopExp/JopLog/JopSqrt/JopTanh/JopSigmoid/JopAtan/JopSin/JopCos pattern) ---
+
+def exp_operator(space: Space) -> Operator:
+    """``d = exp(m)``; tangent diagonal ``exp(m0)``."""
+    return nonlinear_elementwise(space, jnp.exp, jnp.exp)
+
+
+def log_operator(space: Space) -> Operator:
+    """``d = log(m)`` (domain: positive models); tangent diagonal ``1/m0``."""
+    return nonlinear_elementwise(space, jnp.log, lambda m: 1.0 / m)
+
+
+def sqrt_operator(space: Space) -> Operator:
+    """``d = sqrt(m)``; tangent diagonal ``1/(2*sqrt(m0))``."""
+    return nonlinear_elementwise(
+        space, jnp.sqrt, lambda m: 0.5 / jnp.sqrt(m)
+    )
+
+
+def tanh_operator(space: Space) -> Operator:
+    """``d = tanh(m)``; tangent diagonal ``1 - tanh(m0)^2``."""
+    return nonlinear_elementwise(
+        space, jnp.tanh, lambda m: 1.0 - jnp.tanh(m) ** 2
+    )
+
+
+def sigmoid_operator(space: Space) -> Operator:
+    """Logistic ``d = 1/(1+exp(-m))``; tangent diagonal ``d*(1-d)``."""
+
+    def _sig(m):
+        return jax.nn.sigmoid(m)
+
+    return nonlinear_elementwise(
+        space, _sig, lambda m: _sig(m) * (1.0 - _sig(m))
+    )
+
+
+def atan_operator(space: Space) -> Operator:
+    """``d = atan(m)``; tangent diagonal ``1/(1+m0^2)``."""
+    return nonlinear_elementwise(
+        space, jnp.arctan, lambda m: 1.0 / (1.0 + m * m)
+    )
+
+
+def sin_operator(space: Space) -> Operator:
+    """``d = sin(m)``; tangent diagonal ``cos(m0)``."""
+    return nonlinear_elementwise(space, jnp.sin, jnp.cos)
+
+
+def cos_operator(space: Space) -> Operator:
+    """``d = cos(m)``; tangent diagonal ``-sin(m0)``."""
+    return nonlinear_elementwise(space, jnp.cos, lambda m: -jnp.sin(m))

@@ -21,6 +21,9 @@ __all__ = [
     "identity_operator",
     "pad_operator",
     "restriction_operator",
+    "reshape_operator",
+    "real_operator",
+    "imag_operator",
 ]
 
 
@@ -116,4 +119,65 @@ def restriction_operator(
         dft=_r_dft,
         state={"window": window, "pads": pads},
     )
+    return LinearOperator(j)
+
+
+def reshape_operator(space: Space, new_shape: Sequence[int]) -> LinearOperator:
+    """Shape-changing identity ``dom(shape) -> rng(new_shape)`` (same number
+    of elements); the adjoint reshapes back. The operator-level counterpart
+    of the reference's ``reshape(x, R)`` space verb (``src/Jets.jl:38``)."""
+    new_shape = tuple(int(s) for s in new_shape)
+    if int(jnp.prod(jnp.array(new_shape))) != space.size:
+        raise ValueError(f"cannot reshape {space.shape} -> {new_shape}")
+
+    def _df(dm, m0, state):
+        return dm.reshape(state["out"])
+
+    def _dft(dd, m0, state):
+        return dd.reshape(state["in"])
+
+    j = Jet(
+        dom=space,
+        rng=Space(new_shape, space.dtype),
+        df=_df,
+        dft=_dft,
+        state={"out": new_shape, "in": space.shape},
+    )
+    return LinearOperator(j)
+
+
+def _real_dtype(dtype):
+    d = jnp.dtype(dtype)
+    if d.kind != "c":
+        raise TypeError(f"expected complex space, got {d}")
+    return jnp.float32 if d.itemsize == 8 else jnp.float64
+
+
+def real_operator(space: Space) -> LinearOperator:
+    """``d = Re(m)``: complex dom → real rng. R-linear; adjoint (w.r.t. the
+    real inner product ``Re⟨·,·⟩``) embeds ``dd ↦ dd + 0i``."""
+    rdt = _real_dtype(space.dtype)
+
+    def _df(dm, m0, state):
+        return jnp.real(dm)
+
+    def _dft(dd, m0, state):
+        return dd.astype(space.dtype)
+
+    j = Jet(dom=space, rng=Space(space.shape, rdt), df=_df, dft=_dft)
+    return LinearOperator(j)
+
+
+def imag_operator(space: Space) -> LinearOperator:
+    """``d = Im(m)``: complex dom → real rng. R-linear; adjoint embeds
+    ``dd ↦ i·dd`` (w.r.t. the real inner product)."""
+    rdt = _real_dtype(space.dtype)
+
+    def _df(dm, m0, state):
+        return jnp.imag(dm)
+
+    def _dft(dd, m0, state):
+        return (1j * dd).astype(space.dtype)
+
+    j = Jet(dom=space, rng=Space(space.shape, rdt), df=_df, dft=_dft)
     return LinearOperator(j)
