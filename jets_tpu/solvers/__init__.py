@@ -9,6 +9,19 @@ from .krylov import (
     LSQRState,
     LSMRState,
 )
+from .nonlinear import (
+    nlcg,
+    lbfgs,
+    least_squares_objective,
+    NLCGState,
+    LBFGSState,
+    OptResult,
+)
 
-__all__ = ["cg", "cgls", "lsqr", "CGState", "CGLSState", "LSQRState", "lsmr", "LSMRState",
-           "gauss_newton", "GNResult"]
+__all__ = [
+    "cg", "cgls", "lsqr", "lsmr",
+    "CGState", "CGLSState", "LSQRState", "LSMRState",
+    "gauss_newton", "GNResult",
+    "nlcg", "lbfgs", "least_squares_objective",
+    "NLCGState", "LBFGSState", "OptResult",
+]
