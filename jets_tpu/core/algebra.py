@@ -261,19 +261,20 @@ def scale(a, A) -> Operator:
 
 def _vec_f(m, state):
     op = state["op"]
-    return jnp.ravel(op(op.dom.reshape(m)))
+    # space-owned ravel: works for plain arrays AND BlockVectors
+    return op.rng.ravel(op(op.dom.reshape(m)))
 
 
 def _vec_df(dm, m0, state):
     op = state["op"]
     if not isinstance(op, LinearOperator):
         raise ValueError("tangent of vec(op) requires linearize first")
-    return jnp.ravel(op(op.dom.reshape(dm)))
+    return op.rng.ravel(op(op.dom.reshape(dm)))
 
 
 def _vec_dft(dd, m0, state):
     op = state["op"]
-    return jnp.ravel(op.adjoint_apply(op.rng.reshape(dd)))
+    return op.dom.ravel(op.adjoint_apply(op.rng.reshape(dd)))
 
 
 def _vec_upstate(m0, state):
@@ -285,10 +286,16 @@ def vec(A) -> Operator:
     """Adapter exposing any operator over flattened 1-D spaces so 1-D-only
     consumers can use it (reference ``JopVec``, src/Jets.jl:1129-1154).
 
-    No-op if the operator is already 1-D→1-D (src/Jets.jl:1130).
+    No-op if the operator is already 1-D→1-D over *dense* spaces
+    (src/Jets.jl:1130). Block spaces are always adapted: the reference's
+    ``BlockArray`` is a true ``AbstractVector`` a 1-D solver can consume
+    directly, but our ``BlockVector`` is a pytree — ``vec`` flattens it.
     """
     A = _wrap(A)
-    if A.dom.ndim == 1 and A.rng.ndim == 1:
+    if (
+        type(A.dom) is Space and type(A.rng) is Space
+        and A.dom.ndim == 1 and A.rng.ndim == 1
+    ):
         return A
     j = Jet(
         dom=Space((A.dom.size,), A.dom.dtype),
