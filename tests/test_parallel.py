@@ -126,3 +126,24 @@ def test_distributed_lsqr_converges():
                                rtol=0.5, atol=1e-2 * float(np.max(np.abs(r0.x))))
     # converging at all: residual decreased substantially
     assert float(r1.resnorm) < 0.1 * bnorm
+
+
+def test_seismic_fused_matches_composed():
+    # the fused stamp implementation is mathematically identical to the
+    # explicit S∘L composition (same stencil, same weights)
+    key = jax.random.PRNGKey(9)
+    Af = make_seismic_operator((24, 20), 6, 40, key, dtype=jnp.float64,
+                               impl="fused")
+    Ac = make_seismic_operator((24, 20), 6, 40, key, dtype=jnp.float64,
+                               impl="composed")
+    m = Af.dom.randn(jax.random.PRNGKey(1))
+    d = Af.rng.randn(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(Af(m)), np.asarray(Ac(m)), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(jt.adjoint(Af)(d)), np.asarray(jt.adjoint(Ac)(d)),
+        rtol=1e-12, atol=1e-12,
+    )
+    lhs, rhs = jt.dot_product_test(Af, m, d)
+    assert float(lhs) == pytest.approx(float(rhs), rel=1e-12)
