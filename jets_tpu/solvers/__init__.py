@@ -9,6 +9,11 @@ from .krylov import (
     LSQRState,
     LSMRState,
 )
+from .precond import (
+    normal_operator,
+    estimate_diagonal,
+    jacobi_preconditioner,
+)
 from .nonlinear import (
     nlcg,
     lbfgs,
@@ -24,4 +29,5 @@ __all__ = [
     "gauss_newton", "GNResult",
     "nlcg", "lbfgs", "least_squares_objective",
     "NLCGState", "LBFGSState", "OptResult",
+    "normal_operator", "estimate_diagonal", "jacobi_preconditioner",
 ]

@@ -7,8 +7,16 @@ plain pytrees, so saving/restoring is pytree serialization plus an integrity
 hash. A restored state passes straight back into the solver's ``state=``
 argument to resume.
 
-Format: a single ``.npz`` holding the leaves (host numpy), a json-encoded
-treedef, and the CRC32C content hash for validation on load.
+Two backends:
+
+* **npz** (:func:`save_checkpoint` / :func:`load_checkpoint`) — a single
+  file with host-numpy leaves, json treedef, and the CRC32C content hash
+  validated on load; zero extra dependencies, ideal for solver states;
+* **orbax** (:func:`save_checkpoint_orbax` / :func:`load_checkpoint_orbax`)
+  — directory-format checkpoints through ``orbax.checkpoint``, the
+  production path for LARGE / SHARDED model vectors: leaves keep their
+  ``jax.sharding`` on restore, saves are async-capable and multi-host
+  coordinated (each host writes its own shards).
 """
 from __future__ import annotations
 
@@ -22,7 +30,12 @@ import numpy as np
 
 from .hashing import tree_hash
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
+]
 
 
 def save_checkpoint(path: str, tree: Any, *, meta: dict | None = None) -> int:
@@ -69,3 +82,37 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, dict]:
             f"(stored {meta['crc32c']}, restored {h})"
         )
     return tree, meta
+
+
+def save_checkpoint_orbax(path: str, tree: Any) -> None:
+    """Save a pytree (possibly with SHARDED leaves) as an orbax directory
+    checkpoint. On multi-host meshes every host writes only its own shards;
+    restore with :func:`load_checkpoint_orbax` to get the shardings back."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_checkpoint_orbax(path: str, like: Any) -> Any:
+    """Restore an orbax checkpoint written by :func:`save_checkpoint_orbax`.
+
+    ``like`` supplies the target structure; leaves that are jax arrays are
+    restored with the sharding of the corresponding ``like`` leaf (pass
+    sharded zeros to reshard on load)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding)
+            if isinstance(x, jax.Array)
+            else ocp.RestoreArgs(),
+            like,
+        )
+        return ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(
+                item=like,
+                restore_args=restore_args,
+            ),
+        )
