@@ -218,7 +218,15 @@ class SymmetricSpace(Space):
         return w.reshape(shape)
 
     def dot(self, x, y):
-        return jnp.sum(self._weights() * jnp.conj(x) * y)
+        """Inner product equal to the FULL logical-spectrum dot for
+        Hermitian-symmetric members: each doubled bin pair contributes
+        ``2·Re(conj(x)·y)`` (the pair's imaginary parts cancel in the
+        logical array), self-conjugate bins contribute fully."""
+        w = self._weights()
+        z = jnp.conj(x) * y
+        re = jnp.sum(w * jnp.real(z))
+        im = jnp.sum(jnp.where(w == 1.0, jnp.imag(z), 0.0))
+        return (re + 1j * im).astype(self._dtype)
 
     def norm(self, x, p: float = 2):
         w = jnp.broadcast_to(self._weights(), jnp.shape(x))

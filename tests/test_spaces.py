@@ -90,3 +90,46 @@ def test_blockspace_indices_and_reshape():
     with pytest.raises(TypeError):
         jt.BlockSpace([jt.Space((3,), jnp.float64),
                        jt.Space((2,), jnp.float32)])  # mixed dtype
+
+
+def test_symmetric_space_dot_matches_full_spectrum():
+    # <x, y>_sym == <X, Y> over the FULL spectrum for rfft outputs of real
+    # signals (the reference's doubled-half semantics, runtests.jl:227-258)
+    import numpy as np
+
+    n = 16
+    rng = np.random.default_rng(0)
+    a, b = rng.standard_normal(n), rng.standard_normal(n)
+    A, B = np.fft.rfft(a), np.fft.rfft(b)
+    Af, Bf = np.fft.fft(a), np.fft.fft(b)
+    sp = jt.SymmetricSpace((n // 2 + 1,), (n,), jnp.complex128)
+    lhs = complex(sp.dot(jnp.asarray(A), jnp.asarray(B)))
+    rhs = complex(np.vdot(Af, Bf))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_symmetric_space_odd_logical_length():
+    # odd logical length: only bin 0 is self-conjugate (no Nyquist bin)
+    import numpy as np
+
+    n = 15
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(n)
+    A = np.fft.rfft(a)
+    sp = jt.SymmetricSpace((n // 2 + 1,), (n,), jnp.complex128)
+    assert float(sp.norm(jnp.asarray(A))) == pytest.approx(
+        float(np.linalg.norm(np.fft.fft(a))), rel=1e-12
+    )
+
+
+def test_symmetric_space_allocators_and_equality():
+    sp = jt.SymmetricSpace((9,), (16,), jnp.complex128)
+    z = sp.zeros()
+    assert z.shape == (9,) and z.dtype == jnp.complex128
+    k = jax.random.PRNGKey(0)
+    r = sp.randn(k)
+    assert r.dtype == jnp.complex128
+    assert sp == jt.SymmetricSpace((9,), (16,), jnp.complex128)
+    assert sp != jt.Space((9,), jnp.complex128)
+    with pytest.raises(ValueError):
+        jt.SymmetricSpace((8,), (16,), jnp.complex128)  # wrong stored len
