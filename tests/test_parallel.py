@@ -147,3 +147,22 @@ def test_seismic_fused_matches_composed():
     )
     lhs, rhs = jt.dot_product_test(Af, m, d)
     assert float(lhs) == pytest.approx(float(rhs), rel=1e-12)
+
+
+def test_runner_local_block_range_and_assemble():
+    # single-process run: all 8 virtual devices are local, so the local
+    # range is the full block range and assemble_global places every shard
+    from jets_tpu.parallel.runner import assemble_global, local_block_range
+
+    mesh = make_block_mesh(8)
+    lo, hi = local_block_range(16, mesh)
+    assert (lo, hi) == (0, 16)
+    data = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = assemble_global(data[lo:hi], (16, 3), mesh)
+    assert arr.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(arr), data)
+    # sharded over the block axis
+    assert len(arr.sharding.device_set) == 8
+
+    with pytest.raises(ValueError):
+        local_block_range(15, mesh)  # not divisible
