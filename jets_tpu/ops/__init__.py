@@ -5,7 +5,7 @@ companion packages (``JetPack``, ``JetPackDSP``, ``JetPackTransforms``,
 Submodules are importable directly (``jets_tpu.ops.diagonal`` …); the
 common constructors are re-exported here for convenience.
 """
-from .conv import conv1d_operator, derivative_operator
+from .conv import conv1d_operator, derivative_operator, gradient_operator
 from .diagonal import diagonal_operator
 from .dsp import (
     bandpass_operator,
@@ -44,6 +44,7 @@ from .wavelet import WAVELETS, wavelet_operator
 __all__ = [
     "conv1d_operator",
     "derivative_operator",
+    "gradient_operator",
     "diagonal_operator",
     "bandpass_operator",
     "mute_operator",

@@ -16,7 +16,7 @@ from jax import lax
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
-__all__ = ["conv1d_operator", "derivative_operator"]
+__all__ = ["conv1d_operator", "derivative_operator", "gradient_operator"]
 
 
 def _conv_same(m, k):
@@ -52,6 +52,35 @@ def _deriv_df(dm, m0, state):
     dx = state["dx"]
     d = (dm[1:] - dm[:-1]) / dx
     return jnp.concatenate([d, jnp.zeros((1,), dm.dtype)])
+
+
+def gradient_operator(space: Space, dx: float = 1.0) -> LinearOperator:
+    """n-D forward-difference gradient: ``dom(shape) -> rng((nd,) + shape)``
+    with ``(∇m)[ax, ..., i, ...] = (m[i+1] - m[i]) / dx`` along each axis
+    (zero at the trailing face). The standard smoothing / total-variation
+    regularization operator of inversion workflows; the adjoint (negative
+    divergence with boundary terms) is derived via ``jax.linear_transpose``.
+    """
+    nd = space.ndim
+    inv = 1.0 / float(dx)
+
+    def _df(dm, m0, state):
+        outs = []
+        for ax in range(nd):
+            d = (jnp.roll(dm, -1, axis=ax) - dm) * inv
+            # zero the wrapped trailing face
+            idx = [slice(None)] * nd
+            idx[ax] = slice(-1, None)
+            d = d.at[tuple(idx)].set(0.0)
+            outs.append(d)
+        return jnp.stack(outs, axis=0)
+
+    j = Jet(
+        dom=space,
+        rng=Space((nd,) + space.shape, space.dtype),
+        df=_df,
+    )
+    return LinearOperator(j)
 
 
 def derivative_operator(n: int, dx: float = 1.0, dtype=jnp.float32) -> LinearOperator:

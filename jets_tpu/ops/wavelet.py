@@ -41,6 +41,26 @@ WAVELETS = {
         (3.0 - _SQ3) / (4.0 * _SQ2),
         (1.0 - _SQ3) / (4.0 * _SQ2),
     ),
+    # standard Daubechies analysis low-pass coefficients (orthonormality is
+    # enforced by the suite: materialize(W)^T materialize(W) == I)
+    "db3": (
+        0.3326705529500826,
+        0.8068915093110925,
+        0.4598775021184915,
+        -0.1350110200102546,
+        -0.0854412738820267,
+        0.0352262918857095,
+    ),
+    "db4": (
+        0.2303778133088965,
+        0.7148465705529157,
+        0.6308807679298589,
+        -0.0279837694168599,
+        -0.1870348117190931,
+        0.0308413818355607,
+        0.0328830116668852,
+        -0.0105974017850690,
+    ),
 }
 
 

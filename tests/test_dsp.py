@@ -45,7 +45,7 @@ def _dp_gate(A, rtol=1e-10):
 
 # ---------------------------------------------------------------- wavelet
 
-@pytest.mark.parametrize("wavelet", ["haar", "db2"])
+@pytest.mark.parametrize("wavelet", ["haar", "db2", "db3", "db4"])
 @pytest.mark.parametrize("levels", [1, 2, 3])
 def test_wavelet_orthonormal_and_adjoint(wavelet, levels):
     sp = jt.Space((32,), jnp.float64)
@@ -225,3 +225,29 @@ def test_named_elementwise_linearization(ctor, positive):
     # tangent adjoint pair is exact (diagonal)
     J = jt.linearize(F, m0)
     _dp_gate(J)
+
+
+# ------------------------------------------------------------------ gradient
+
+def test_gradient_operator_matches_dense():
+    from jets_tpu.ops import gradient_operator
+
+    sp = jt.Space((5, 4), jnp.float64)
+    G = gradient_operator(sp, dx=0.5)
+    _dp_gate(G)
+    x = sp.randn(KEY)
+    g = np.asarray(G(x))
+    xn = np.asarray(x)
+    expect0 = np.zeros_like(xn)
+    expect0[:-1] = (xn[1:] - xn[:-1]) / 0.5
+    expect1 = np.zeros_like(xn)
+    expect1[:, :-1] = (xn[:, 1:] - xn[:, :-1]) / 0.5
+    assert np.allclose(g[0], expect0, atol=1e-12)
+    assert np.allclose(g[1], expect1, atol=1e-12)
+    # -div is the adjoint: <Gx, y> == <x, G'y> certified above; also check
+    # G'G is symmetric positive semidefinite (a graph Laplacian)
+    M = np.asarray(jt.materialize(G))
+    L = M.T @ M
+    assert np.allclose(L, L.T)
+    w = np.linalg.eigvalsh(L)
+    assert w.min() > -1e-10
