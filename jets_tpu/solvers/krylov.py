@@ -228,6 +228,15 @@ def lsqr(
     recurrence scalars are fused reductions, so a distributed block operator
     costs exactly two collective rounds per iteration. ``phibar`` tracks the
     residual norm without ever forming ``r``.
+
+    HBM-lean recurrence: the model-space Lanczos vector is kept
+    UNNORMALIZED in ``state.v`` (``‖v‖ = state.alpha``; the mathematical
+    ``v`` is ``state.v / alpha``) and the ``1/alpha`` factors fold into the
+    recurrence scalars, removing the explicit model-vector scale pass.
+    Scalar recurrences are identical to the textbook form. (Measured ~1%
+    on the flagship — XLA already fused most of the scale into adjacent
+    passes — but the form also guarantees the lean pass structure on
+    backends/shapes where that fusion does not fire.)
     """
     dom, rng = A.dom, A.rng
 
@@ -244,8 +253,11 @@ def lsqr(
             x = x0
             r0 = tr.sub(b, A(x))
         u, beta = _normalize(rng, r0)
-        v, alpha = _normalize(dom, A.adjoint_apply(u))
-        st = LSQRState(x, u, v, v, alpha, beta, alpha, jnp.asarray(0))
+        v_hat = A.adjoint_apply(u)  # unnormalized; ‖v_hat‖ = alpha
+        alpha = dom.norm(v_hat)
+        a_safe = jnp.where(alpha > 0, alpha, 1.0)
+        w = tr.scale(1.0 / a_safe, v_hat)
+        st = LSQRState(x, u, v_hat, w, alpha, beta, alpha, jnp.asarray(0))
         bnorm = beta
     else:
         st = state
@@ -271,11 +283,16 @@ def lsqr(
 
     def body(carry):
         st, hist = carry
-        # bidiagonalization: beta u = A v - alpha u ; alpha v = A' u - beta v
-        u_next = tr.axpy(-st.alpha, st.u, A(st.v))
+        # bidiagonalization with v stored unnormalized (v_math = v/alpha):
+        #   beta u' = A v_math - alpha u  →  A(v)/alpha - alpha u
+        a_safe = jnp.where(st.alpha > 0, st.alpha, 1.0)
+        u_next = tr.axpy(
+            -st.alpha, st.u, tr.scale(1.0 / a_safe, A(st.v))
+        )  # data-space scale: cheap
         u_next, beta = _normalize(rng, u_next)
-        v_next = tr.axpy(-beta, st.v, A.adjoint_apply(u_next))
-        v_next, alpha = _normalize(dom, v_next)
+        #   alpha' v_math' = A' u' - beta v_math  →  v' = A'u' - (beta/alpha) v
+        v_hat = tr.axpy(-beta / a_safe, st.v, A.adjoint_apply(u_next))
+        alpha = dom.norm(v_hat)
         # eliminate damping (regularization) via an extra rotation
         c1, _, rhobar1 = _sym_ortho(st.rhobar, damp)
         phibar1 = c1 * st.phibar
@@ -289,9 +306,12 @@ def lsqr(
         t1 = jnp.where(rho > 0, phi / rho_safe, 0.0)
         t2 = jnp.where(rho > 0, -theta / rho_safe, 0.0)
         x = tr.xpay(st.x, t1, st.w)
-        w = tr.axpy(t2, st.w, v_next)
+        # w' = v_math' + t2 w = v_hat/alpha' + t2 w — one fused pass
+        an_safe = jnp.where(alpha > 0, alpha, 1.0)
+        inv_a = 1.0 / an_safe
+        w = tr.tmap(lambda vh, ww: inv_a * vh + t2 * ww, v_hat, st.w)
         hist = hist.at[st.i].set(jnp.abs(phibar))
-        return LSQRState(x, u_next, v_next, w, alpha, phibar, rhobar, st.i + 1), hist
+        return LSQRState(x, u_next, v_hat, w, alpha, phibar, rhobar, st.i + 1), hist
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
     return SolveResult(st.x, st.i, jnp.abs(st.phibar), hist, st)
