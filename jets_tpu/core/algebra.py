@@ -286,17 +286,28 @@ def vec(A) -> Operator:
     """Adapter exposing any operator over flattened 1-D spaces so 1-D-only
     consumers can use it (reference ``JopVec``, src/Jets.jl:1129-1154).
 
-    No-op if the operator is already 1-D→1-D over *dense* spaces
-    (src/Jets.jl:1130). Block spaces are always adapted: the reference's
-    ``BlockArray`` is a true ``AbstractVector`` a 1-D solver can consume
-    directly, but our ``BlockVector`` is a pytree — ``vec`` flattens it.
+    No-op if the operator is already 1-D→1-D over dense or symmetric
+    spaces (src/Jets.jl:1130). Block spaces are always adapted: the
+    reference's ``BlockArray`` is a true ``AbstractVector`` a 1-D solver
+    can consume directly, but our ``BlockVector`` is a pytree — ``vec``
+    flattens it. An n-D :class:`SymmetricSpace` cannot be vec'd: its
+    multiplicity-weighted inner product has no flat-``Space`` equivalent,
+    and silently dropping the weights would break every adjoint downstream.
     """
+    from .blockspace import BlockSpace
+    from .spaces import SymmetricSpace
+
     A = _wrap(A)
-    if (
-        type(A.dom) is Space and type(A.rng) is Space
-        and A.dom.ndim == 1 and A.rng.ndim == 1
+    if A.dom.ndim == 1 and A.rng.ndim == 1 and not (
+        isinstance(A.dom, BlockSpace) or isinstance(A.rng, BlockSpace)
     ):
         return A
+    for sp in (A.dom, A.rng):
+        if isinstance(sp, SymmetricSpace) and sp.ndim > 1:
+            raise NotImplementedError(
+                "vec() of an operator over an n-D SymmetricSpace would drop "
+                "its multiplicity weights; reshape at the call site instead"
+            )
     j = Jet(
         dom=Space((A.dom.size,), A.dom.dtype),
         rng=Space((A.rng.size,), A.rng.dtype),

@@ -22,7 +22,7 @@ inline notes and ``docs/index.md`` §7):
   whole minor-axis tiles as plain DMA;
 * the default ``impl="fused"`` goes further: the forward samples the
   Laplacian *stencil taps directly* on a 3-block-per-axis gathered
-  sub-array (``_make_sampled_stencil_kernels``) — grid HBM traffic is ~3·c0
+  sub-array (``_make_sampled_stencil_df``) — grid HBM traffic is ~3·c0
   rows read, no dense sweep at all; the adjoint deposits per-axis then runs
   ONE dense Laplacian sweep, whose elementwise tail XLA fuses into the
   solver's following axpy/norm (a scatter tail would not fuse; measured
@@ -39,7 +39,6 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import Mesh
 
 from ..core.algebra import compose
@@ -197,10 +196,9 @@ def _axis_deposit(g, grid_shape, axes_idx):
     return g
 
 
-def _make_axis_sample_df(axes_idx, with_lap):
+def _make_axis_sample_df(axes_idx):
     def df(m, m0, bs):
-        u = _lap(m) if with_lap else m
-        return jnp.ravel(_axis_sample(u, axes_idx)) * bs["wr"]
+        return jnp.ravel(_axis_sample(m, axes_idx)) * bs["wr"]
 
     return df
 
@@ -214,17 +212,20 @@ def _make_axis_sample_stack_dft(grid_shape, counts, axes_idx, with_lap):
     return stack_dft
 
 
-def _make_sampled_stencil_kernels(grid_shape, counts, axes_idx):
-    """Fully-fused flagship kernels: ``(L m)[subgrid]`` WITHOUT any dense
-    O(grid) sweep. Per axis, gather the 3-block index set
+def _make_sampled_stencil_df(grid_shape, counts, axes_idx):
+    """Sweep-free flagship FORWARD kernel: ``(L m)[subgrid]`` without any
+    dense O(grid) sweep. Per axis, gather the 3-block index set
     ``[idx-1, idx, idx+1]`` (one cheap whole-tile DMA on the major axis,
     tiny gathers after), then combine the 2·nd+1 stencil taps on the small
     ``(3c0, 3c1, …)`` array — in the SAME add order as ``_lap`` so results
-    are bit-identical to the composed operator. The adjoint transposes
-    every step: tap-deposit into the 3-block array, per-axis scatter-adds
-    back (duplicate indices accumulate — the exact transpose of duplicate
-    reads). Model-grid HBM traffic per apply: ~3·c0 rows read (forward) /
-    one dense output write (adjoint) — nothing else.
+    are bit-identical to the composed operator. Model-grid HBM traffic per
+    forward: ~3·c0 rows read, nothing else.
+
+    The matching ADJOINT is deliberately NOT the tap-transposed scatter
+    (that form measured slower inside the solver loop — a scatter tail
+    cannot fuse into the solver's next axpy/norm): the fused operator pairs
+    this forward with ``_make_axis_sample_stack_dft(with_lap=True)``, the
+    same linear transpose expressed as deposit-then-dense-sweep.
 
     Subgrid margins of ≥1 cell (guaranteed by :func:`_receiver_grid`) keep
     every ``idx±1`` in bounds."""
@@ -242,7 +243,7 @@ def _make_sampled_stencil_kernels(grid_shape, counts, axes_idx):
         for b in (0, 2):
             taps.append((tuple(b if i == ax else 1 for i in range(nd)), 1.0))
 
-    def sample(m):
+    def df(m, m0, bs):
         E = m
         for ax in range(nd):
             E = jnp.take(E, cat_idx[ax], axis=ax)
@@ -250,29 +251,9 @@ def _make_sampled_stencil_kernels(grid_shape, counts, axes_idx):
         for pos, cf in taps:
             t = cf * E[_blk_slice(pos)]
             lv = t if lv is None else lv + t
-        return lv
+        return jnp.ravel(lv) * bs["wr"]
 
-    def deposit(g):
-        E = jnp.zeros(tuple(3 * c for c in counts), g.dtype)
-        for pos, cf in taps:
-            E = E.at[_blk_slice(pos)].add(cf * g)
-        z = E
-        for ax in reversed(range(nd)):
-            shape = list(z.shape)
-            shape[ax] = grid_shape[ax]
-            zz = jnp.zeros(shape, z.dtype)
-            z = zz.at[(slice(None),) * ax + (cat_idx[ax],)].add(z)
-        return z
-
-    def df(m, m0, bs):
-        return jnp.ravel(sample(m)) * bs["wr"]
-
-    def stack_dft(dd, m0, bs):
-        g = jnp.reshape(jnp.sum(dd * bs["wr"], axis=0), counts)
-        return deposit(g)
-
-    return df, stack_dft
-
+    return df
 
 def _make_stamp_stack_dft(grid_shape):
     size = 1
@@ -380,7 +361,7 @@ def make_seismic_operator(
             # stencil whose output FUSES into the solver's following
             # axpy/norm (a scatter tail does not; measured 15.0k vs 12.9k
             # LSQR iter/s inside the jitted loop).
-            fdf, _ = _make_sampled_stencil_kernels(
+            fdf = _make_sampled_stencil_df(
                 grid_shape, counts, axes_idx
             )
             return stacked_block_operator(
@@ -400,7 +381,7 @@ def make_seismic_operator(
             dom=dom,
             rng_block=Space((nreceivers,), dtype),
             bstate={"wr": wr},
-            df=_make_axis_sample_df(axes_idx, with_lap=False),
+            df=_make_axis_sample_df(axes_idx),
             stack_dft=_make_axis_sample_stack_dft(
                 grid_shape, counts, axes_idx, with_lap=False
             ),

@@ -39,9 +39,12 @@ _TOP = 8  # sublane-aligned halo rows (only the row adjacent to the panel is use
 
 
 def _pick_tile(h, tile):
-    if h % tile == 0:
+    # tile must divide h AND be sublane-aligned (multiple of 8): the v2
+    # kernel's pl.multiple_of hints assert 8-alignment of i*tile, so an
+    # unaligned tile would be a FALSE hint (silent miscompile risk on HW)
+    if h % tile == 0 and tile % _TOP == 0:
         return tile
-    for t in (128, 64, 32, 16, 8):
+    for t in (256, 128, 64, 32, 16, 8):
         if h % t == 0:
             return t
     raise ValueError(f"grid height {h} has no supported tile size")

@@ -82,8 +82,9 @@ def _norm(x):
 def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max):
     """Backtracking line search: largest ``alpha0 / 2^k`` (k < ls_max)
     satisfying ``phi(m + a p) <= phi + c1 a <g,p>``. Returns
-    (m_new, phi_new, g_new, alpha). If the search fails entirely, takes the
-    last (smallest) trial — the outer loop's descent check handles it."""
+    ``(m_new, phi_new, g_new, alpha, ok)``. If every trial fails, the
+    original point is kept and ``ok=False`` — callers must reseed their
+    step size rather than trust ``alpha``."""
     gTp = _dot(g, p)
 
     def cond(c):
@@ -107,7 +108,7 @@ def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max):
     alpha, _k, done, m_new, phi_new, g_new = lax.while_loop(
         cond, body, (alpha0, 0, False, m, phi, g)
     )
-    return m_new, phi_new, g_new, jnp.where(done, alpha, 0.0)
+    return m_new, phi_new, g_new, alpha, done
 
 
 class NLCGState(NamedTuple):
@@ -155,9 +156,14 @@ def nlcg(
         p = tr.tmap(
             lambda pp, gg: jnp.where(gTp < 0, pp, -gg), st.p, st.g
         )
-        m, phi, g, alpha = _armijo(
+        m, phi, g, alpha, ok = _armijo(
             fg, st.m, st.phi, st.g, p,
             jnp.maximum(st.alpha, 1e-30) * 2.0, c1=c1, ls_max=ls_max,
+        )
+        # a fully-failed search keeps the point; reseed the step from the
+        # gradient scale instead of letting alpha collapse toward 0
+        alpha = jnp.where(
+            ok, alpha, 1.0 / jnp.maximum(_norm(g), 1e-30)
         )
         # Polak–Ribière+ beta with restart floor at 0
         y = tr.sub(g, st.g)
@@ -199,11 +205,14 @@ def lbfgs(
     """Limited-memory BFGS with two-loop recursion over a fixed ``mem``-pair
     ring buffer and backtracking Armijo line search, all inside one
     ``lax.while_loop``."""
-    gflat0, unravel = ravel_pytree(fg(m0)[1] if state is None else state.g)
+    if state is None:
+        phi0, g0 = fg(m0)  # single trace of the objective graph
+    else:
+        g0 = state.g
+    gflat0, unravel = ravel_pytree(g0)
     n = gflat0.shape[0]
     dt = gflat0.dtype
     if state is None:
-        phi0, g0 = fg(m0)
         st = LBFGSState(
             m0, phi0, g0,
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
@@ -267,7 +276,7 @@ def lbfgs(
         p = tr.tmap(lambda pp, gg: jnp.where(gTp < 0, pp, -gg), p, st.g)
         alpha0 = jnp.where(st.count > 0, jnp.asarray(1.0, st.alpha.dtype),
                            1.0 / jnp.maximum(_norm(st.g), 1e-30))
-        m, phi, g, alpha = _armijo(
+        m, phi, g, alpha, _ok = _armijo(
             fg, st.m, st.phi, st.g, p, alpha0, c1=c1, ls_max=ls_max
         )
         s_f = ravel_pytree(tr.sub(m, st.m))[0]

@@ -146,3 +146,22 @@ def test_block_of_compositions_getblock():
     assert np.allclose(
         np.asarray(materialize(blk)), M22 @ N22, atol=1e-12
     )
+
+
+def test_vec_preserves_symmetric_space_semantics():
+    # regression: vec() must no-op on 1-D symmetric-space operators (its
+    # weighted inner product has no flat-Space equivalent) and refuse n-D
+    # symmetric spaces rather than silently dropping the weights
+    from jets_tpu.ops import rfft_operator
+
+    A = rfft_operator(jt.Space((8,), jnp.float64))
+    Av = vec(A)
+    assert Av is A  # no-op: the weighted range survives
+    m = Av.dom.randn(KEY)
+    d = Av.rng.randn(jax.random.PRNGKey(1))
+    lhs, rhs = dot_product_test(Av, m, d)
+    assert complex(lhs) == pytest.approx(complex(rhs), rel=1e-12)
+
+    A2 = rfft_operator(jt.Space((4, 8), jnp.float64))
+    with pytest.raises(NotImplementedError):
+        vec(A2)
