@@ -110,6 +110,29 @@ def main():
     timeit("vec/apply", apply_jit, V, mv)
     timeit("vec/adjoint", adj_jit, V, mv)
 
+    # --- group: jets_tpu extras (beyond the reference's 8 groups) ---
+    from jets_tpu.ops import (
+        bandpass_operator, gradient_operator, taper_operator, wavelet_operator,
+    )
+    from jets_tpu.solvers import lsqr
+
+    spw = jt.Space((64, 64), jnp.float32)
+    W = wavelet_operator(spw, "db2", levels=2)
+    mw = spw.rand(key)
+    timeit("extras/wavelet_apply", apply_jit, W, mw)
+    timeit("extras/wavelet_adjoint", adj_jit, W, mw)
+    Bp = bandpass_operator(jt.Space((1024,), jnp.float32), 0.004, 10.0, 60.0)
+    timeit("extras/bandpass_apply", apply_jit, Bp, Bp.dom.rand(key))
+    G = gradient_operator(spw)
+    timeit("extras/gradient_apply", apply_jit, G, mw)
+    T = taper_operator(spw, (8, 8))
+    timeit("extras/taper_apply", apply_jit, T, mw)
+    Dl = diagonal_operator(jt.Space((1000,), jnp.float32).rand(key) + 0.5)
+    bl = Dl.rng.rand(key)
+    timeit("extras/lsqr_20iters",
+           lambda: jax.block_until_ready(
+               lsqr(Dl, bl, maxiter=20, tol=0.0).x))
+
     print(f"\n{'entry':38s} {'median us':>12s}")
     print("-" * 52)
     for label, med in ROWS:
