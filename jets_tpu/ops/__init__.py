@@ -29,6 +29,7 @@ from .elementwise import (
 )
 from .fft import fft_operator, rfft_operator
 from .matrix import matrix_operator
+from .radon import radon_operator
 from .stencil import blur2d_operator, laplacian_operator, stencil_operator
 from .transforms import (
     dct_operator,
@@ -65,6 +66,7 @@ __all__ = [
     "fft_operator",
     "rfft_operator",
     "matrix_operator",
+    "radon_operator",
     "blur2d_operator",
     "laplacian_operator",
     "stencil_operator",

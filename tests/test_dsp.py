@@ -251,3 +251,28 @@ def test_gradient_operator_matches_dense():
     assert np.allclose(L, L.T)
     w = np.linalg.eigvalsh(L)
     assert w.min() > -1e-10
+
+
+# --------------------------------------------------------------------- radon
+
+def test_radon_slant_stack():
+    from jets_tpu.ops.radon import radon_operator
+
+    nt, dt = 128, 0.004
+    offsets = np.arange(8) * 100.0
+    slownesses = np.linspace(-4e-4, 4e-4, 9)
+    R = radon_operator(nt, offsets, slownesses, dt, dtype=jnp.float64)
+    assert R.dom.shape == (nt, 9) and R.rng.shape == (nt, 8)
+    _dp_gate(R)
+    lhs, rhs = jt.linearity_test(R)
+    assert np.allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-12)
+    # a single-slowness spike at tau=t0 maps to a moved-out linear event:
+    # d(t, x) peaks at t = t0 + p*x
+    ip = 7  # p = slownesses[7]
+    p = float(slownesses[ip])
+    t0 = 40
+    m = jnp.zeros((nt, 9), jnp.float64).at[t0, ip].set(1.0)
+    d = np.asarray(R(m))
+    for ix, x in enumerate(offsets):
+        expect_t = (t0 * dt + p * x) / dt
+        assert abs(int(np.argmax(d[:, ix])) - round(expect_t)) <= 1
