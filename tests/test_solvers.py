@@ -157,3 +157,19 @@ def test_lsqr_heterogeneous_block_range():
     res = lsqr(B, b, maxiter=100, tol=1e-13)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true),
                                rtol=1e-8)
+
+
+def test_lsqr_on_heterogeneous_block_operator():
+    # solver consumes a BlockVector right-hand side directly: the het-block
+    # layer (C9/C10) + the solver layer end-to-end, no vec bridge
+    import numpy as np
+    from jets_tpu.ops import matrix_operator
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    A1 = matrix_operator(jax.random.normal(k1, (12, 8), jnp.float64))
+    A2 = matrix_operator(jax.random.normal(k2, (5, 8), jnp.float64))
+    B = jt.block_operator([[A1], [A2]])
+    m_true = B.dom.randn(jax.random.PRNGKey(5))
+    d = B(m_true)  # BlockVector range
+    res = lsqr(B, d, maxiter=100, tol=1e-14)
+    assert np.allclose(np.asarray(res.x), np.asarray(m_true), atol=1e-8)
