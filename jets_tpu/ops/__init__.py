@@ -33,6 +33,9 @@ from .radon import radon_operator
 from .stencil import blur2d_operator, laplacian_operator, stencil_operator
 from .transforms import (
     dct_operator,
+    flip_operator,
+    permutation_operator,
+    transpose_operator,
     identity_operator,
     imag_operator,
     pad_operator,
@@ -77,6 +80,9 @@ __all__ = [
     "real_operator",
     "reshape_operator",
     "restriction_operator",
+    "transpose_operator",
+    "flip_operator",
+    "permutation_operator",
     "WAVELETS",
     "wavelet_operator",
 ]

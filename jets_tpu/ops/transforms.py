@@ -24,6 +24,9 @@ __all__ = [
     "reshape_operator",
     "real_operator",
     "imag_operator",
+    "transpose_operator",
+    "flip_operator",
+    "permutation_operator",
 ]
 
 
@@ -180,4 +183,67 @@ def imag_operator(space: Space) -> LinearOperator:
         return (1j * dd).astype(space.dtype)
 
     j = Jet(dom=space, rng=Space(space.shape, rdt), df=_df, dft=_dft)
+    return LinearOperator(j)
+
+
+def transpose_operator(space: Space, axes: Sequence[int]) -> LinearOperator:
+    """Axis permutation ``m -> m.transpose(axes)`` (orthogonal; adjoint =
+    inverse permutation)."""
+    axes = tuple(int(a) % space.ndim for a in axes)
+    if sorted(axes) != list(range(space.ndim)):
+        raise ValueError(f"{axes} is not a permutation of axes")
+    inv = tuple(int(i) for i in sorted(range(space.ndim), key=lambda k: axes[k]))
+    out_shape = tuple(space.shape[a] for a in axes)
+
+    def _df(dm, m0, state):
+        return jnp.transpose(dm, state["axes"])
+
+    def _dft(dd, m0, state):
+        return jnp.transpose(dd, state["inv"])
+
+    j = Jet(
+        dom=space,
+        rng=Space(out_shape, space.dtype),
+        df=_df,
+        dft=_dft,
+        state={"axes": axes, "inv": inv},
+    )
+    return LinearOperator(j)
+
+
+def flip_operator(space: Space, axes: Sequence[int]) -> LinearOperator:
+    """Reverse the given axes (involutive and orthogonal: adjoint = itself)."""
+    axes = tuple(sorted(int(a) % space.ndim for a in axes))
+
+    def _df(dm, m0, state):
+        return jnp.flip(dm, axis=state["axes"])
+
+    j = Jet(dom=space, rng=space, df=_df, dft="self", state={"axes": axes})
+    return LinearOperator(j)
+
+
+def permutation_operator(space: Space, perm) -> LinearOperator:
+    """Permute the FLAT elements of the space by index vector ``perm``
+    (``d.flat[i] = m.flat[perm[i]]``); adjoint applies the inverse
+    permutation. Orthogonal."""
+    perm = jnp.asarray(perm, jnp.int32)
+    if perm.shape != (space.size,):
+        raise ValueError(f"perm must have {space.size} entries")
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(space.size, dtype=jnp.int32)
+    )
+
+    def _df(dm, m0, state):
+        return jnp.ravel(dm)[state["perm"]].reshape(dm.shape)
+
+    def _dft(dd, m0, state):
+        return jnp.ravel(dd)[state["inv"]].reshape(dd.shape)
+
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_df,
+        dft=_dft,
+        state={"perm": perm, "inv": inv},
+    )
     return LinearOperator(j)

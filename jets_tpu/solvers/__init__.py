@@ -1,6 +1,8 @@
 from .gauss_newton import gauss_newton, GNResult
 from .krylov import (
     cg,
+    minres,
+    MINRESState,
     cgls,
     lsqr,
     lsmr,
@@ -24,8 +26,8 @@ from .nonlinear import (
 )
 
 __all__ = [
-    "cg", "cgls", "lsqr", "lsmr",
-    "CGState", "CGLSState", "LSQRState", "LSMRState",
+    "cg", "cgls", "lsqr", "lsmr", "minres",
+    "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState",
     "gauss_newton", "GNResult",
     "nlcg", "lbfgs", "least_squares_objective",
     "NLCGState", "LBFGSState", "OptResult",

@@ -35,7 +35,7 @@ from jax import lax
 from ..core.jet import LinearOperator
 from ..utils import tree as tr
 
-__all__ = ["cg", "cgls", "lsqr", "lsmr", "CGState", "CGLSState", "LSQRState", "LSMRState"]
+__all__ = ["cg", "cgls", "lsqr", "lsmr", "minres", "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState"]
 
 
 def _real(x):
@@ -442,3 +442,103 @@ def lsmr(
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
     return SolveResult(st.x, st.i, jnp.abs(st.zetabar), hist, st)
+
+
+# ---------------------------------------------------------------------------
+# MINRES — symmetric (possibly INDEFINITE) systems A x = b (Paige &
+# Saunders 1975). Completes the Krylov family: CG needs positive definite;
+# MINRES only needs self-adjoint (what the dot-product gate certifies).
+# ---------------------------------------------------------------------------
+
+
+class MINRESState(NamedTuple):
+    x: Any
+    v: Any  # current Lanczos vector (normalized)
+    v_old: Any
+    w1: Any  # previous two update directions
+    w0: Any
+    beta: jax.Array
+    eta: jax.Array  # |eta| = current residual norm
+    gamma1: jax.Array
+    gamma0: jax.Array
+    sigma1: jax.Array
+    sigma0: jax.Array
+    i: jax.Array
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def minres(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    state: Optional[MINRESState] = None,
+) -> SolveResult:
+    """MINRES on a self-adjoint operator (definite OR indefinite): minimizes
+    ``||A x - b||`` over the Krylov space — monotone residual, one operator
+    application and one Lanczos three-term recurrence per iteration, fused
+    Givens rotations."""
+    dom = A.dom
+    bnorm = dom.norm(b)
+
+    def _safe(x):
+        return jnp.where(x > 0, x, 1.0)
+
+    if state is None:
+        x = dom.zeros() if x0 is None else x0
+        r = tr.sub(b, A(x)) if x0 is not None else b
+        beta1 = dom.norm(r)
+        v = tr.scale(1.0 / _safe(beta1), r)
+        zero = tr.tmap(jnp.zeros_like, v)
+        one = jnp.asarray(1.0, beta1.dtype)
+        nul = jnp.asarray(0.0, beta1.dtype)
+        st = MINRESState(
+            x, v, zero, zero, zero,
+            nul, beta1, one, one, nul, nul, jnp.asarray(0),
+        )
+    else:
+        st = state
+
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.eta.dtype)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.i < maxiter) & (jnp.abs(st.eta) > tol * bnorm)
+
+    def body(carry):
+        st, hist = carry
+        Av = A(st.v)
+        alpha = _real(dom.dot(st.v, Av))
+        v_next = tr.tmap(
+            lambda av, vv, vo: av - alpha * vv - st.beta * vo,
+            Av, st.v, st.v_old,
+        )
+        beta_next = dom.norm(v_next)
+        v_next = tr.scale(1.0 / _safe(beta_next), v_next)
+        # apply the two previous rotations to the new tridiagonal column
+        delta = st.gamma1 * alpha - st.gamma0 * st.sigma1 * st.beta
+        rho2 = st.sigma1 * alpha + st.gamma0 * st.gamma1 * st.beta
+        rho3 = st.sigma0 * st.beta
+        rho1 = jnp.sqrt(delta * delta + beta_next * beta_next)
+        gamma = jnp.where(rho1 > 0, delta / _safe(rho1), 1.0)
+        sigma = jnp.where(rho1 > 0, beta_next / _safe(rho1), 0.0)
+        w_next = tr.tmap(
+            lambda vv, w0, w1: (vv - rho3 * w0 - rho2 * w1) / _safe(rho1),
+            st.v, st.w0, st.w1,
+        )
+        x = tr.xpay(st.x, gamma * st.eta, w_next)
+        eta = -sigma * st.eta
+        hist = hist.at[st.i].set(jnp.abs(eta))
+        return (
+            MINRESState(
+                x, v_next, st.v, w_next, st.w1,
+                beta_next, eta, gamma, st.gamma1, sigma, st.sigma1,
+                st.i + 1,
+            ),
+            hist,
+        )
+
+    st, hist = lax.while_loop(cond, body, (st, hist0))
+    return SolveResult(st.x, st.i, jnp.abs(st.eta), hist, st)

@@ -276,3 +276,30 @@ def test_radon_slant_stack():
     for ix, x in enumerate(offsets):
         expect_t = (t0 * dt + p * x) / dt
         assert abs(int(np.argmax(d[:, ix])) - round(expect_t)) <= 1
+
+
+# --------------------------------------------------- structural (orthogonal)
+
+def test_transpose_flip_permutation_operators():
+    from jets_tpu.ops import (
+        flip_operator, permutation_operator, transpose_operator,
+    )
+
+    sp = jt.Space((4, 6), jnp.float64)
+    T = transpose_operator(sp, (1, 0))
+    assert T.rng.shape == (6, 4)
+    _dp_gate(T)
+    x = sp.randn(KEY)
+    assert np.allclose(np.asarray(T(x)), np.asarray(x).T, atol=0)
+    assert np.allclose(np.asarray(jt.adjoint(T)(T(x))), np.asarray(x), atol=0)
+
+    Fl = flip_operator(sp, (1,))
+    _dp_gate(Fl)
+    assert np.allclose(np.asarray(Fl(x)), np.asarray(x)[:, ::-1], atol=0)
+
+    perm = jax.random.permutation(KEY, sp.size)
+    P = permutation_operator(sp, perm)
+    _dp_gate(P)
+    assert np.allclose(np.asarray(jt.adjoint(P)(P(x))), np.asarray(x), atol=0)
+    M = np.asarray(materialize(P))
+    assert np.allclose(M.T @ M, np.eye(sp.size), atol=0)  # orthogonal

@@ -173,3 +173,51 @@ def test_lsqr_on_heterogeneous_block_operator():
     d = B(m_true)  # BlockVector range
     res = lsqr(B, d, maxiter=100, tol=1e-14)
     assert np.allclose(np.asarray(res.x), np.asarray(m_true), atol=1e-8)
+
+
+def test_minres_symmetric_indefinite():
+    import numpy as np
+    from jets_tpu.ops import diagonal_operator
+    from jets_tpu.solvers import minres
+
+    n = 60
+    # symmetric INDEFINITE: mixed-sign diagonal (CG would diverge here)
+    w = jnp.asarray(
+        np.concatenate([np.linspace(1.0, 5.0, 30), -np.linspace(1.0, 5.0, 30)])
+    )
+    A = diagonal_operator(w)
+    b = A.dom.randn(jax.random.PRNGKey(6))
+    res = minres(A, b, maxiter=200, tol=1e-12)
+    assert np.allclose(np.asarray(res.x), np.asarray(b / w), atol=1e-8)
+    # monotone residual
+    h = np.asarray(res.history)
+    h = h[np.isfinite(h)]
+    assert np.all(np.diff(h) <= 1e-10)
+
+
+def test_minres_matches_cg_on_spd():
+    import numpy as np
+    from jets_tpu.ops import matrix_operator
+    from jets_tpu.solvers import minres
+
+    rng = np.random.default_rng(3)
+    Q = rng.standard_normal((30, 30))
+    A = matrix_operator(jnp.asarray(Q.T @ Q / 30 + np.eye(30)))
+    b = A.dom.randn(jax.random.PRNGKey(7))
+    x_cg = cg(A, b, maxiter=200, tol=1e-13).x
+    x_mr = minres(A, b, maxiter=200, tol=1e-13).x
+    assert np.allclose(np.asarray(x_mr), np.asarray(x_cg), atol=1e-8)
+
+
+def test_minres_resume():
+    import numpy as np
+    from jets_tpu.ops import diagonal_operator
+    from jets_tpu.solvers import minres
+
+    w = jnp.linspace(1.0, 9.0, 40)
+    A = diagonal_operator(w)
+    b = A.dom.randn(jax.random.PRNGKey(8))
+    full = minres(A, b, maxiter=40, tol=0.0)
+    part = minres(A, b, maxiter=20, tol=0.0)
+    cont = minres(A, b, maxiter=40, tol=0.0, state=part.state)
+    assert float(cont.resnorm) <= float(full.resnorm) * (1 + 1e-6) + 1e-12
