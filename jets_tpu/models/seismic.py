@@ -158,17 +158,9 @@ def _receiver_grid(grid_shape, nreceivers):
     return tuple(starts), tuple(strides), tuple(counts)
 
 
-def _lap(x):
-    """Shift-and-add Laplacian, identical formula to
-    ``ops.stencil._laplacian_df`` (zero boundary, self-adjoint)."""
-    nd = x.ndim
-    xp = jnp.pad(x, 1)
-    out = (-2.0 * nd) * x
-    for ax in range(nd):
-        lo = tuple(slice(0, -2) if i == ax else slice(1, -1) for i in range(nd))
-        hi = tuple(slice(2, None) if i == ax else slice(1, -1) for i in range(nd))
-        out = out + xp[lo] + xp[hi]
-    return out
+# the ONE shared Laplacian implementation — bit-exactness between the fused
+# and composed flagship paths depends on it
+from ..ops.stencil import laplacian_nd as _lap  # noqa: E402
 
 
 def _axis_sample(u, axes_idx):

@@ -53,7 +53,7 @@ def taper_operator(space: Space, widths: Sequence[int]) -> LinearOperator:
         raise ValueError(f"need {space.ndim} widths, got {len(widths)}")
     rdtype = np.dtype(space.dtype)
     if rdtype.kind == "c":
-        rdtype = np.float32 if rdtype.itemsize == 8 else np.float64
+        rdtype = np.float64 if rdtype == np.complex128 else np.float32
     w = np.ones(space.shape, dtype=rdtype)
     for ax, (n, width) in enumerate(zip(space.shape, widths)):
         if 2 * width > n:
@@ -148,7 +148,7 @@ def shift_operator(
     if n % 2 == 0:
         ph[-1] = np.real(ph[-1])
     ph[0] = 1.0
-    cdtype = np.complex64 if np.dtype(space.dtype).itemsize == 4 else np.complex128
+    cdtype = np.complex128 if space.dtype == jnp.float64 else np.complex64
     j = Jet(
         dom=space,
         rng=space,

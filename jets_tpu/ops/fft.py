@@ -51,7 +51,8 @@ def rfft_operator(space: Space) -> LinearOperator:
     space's multiplicity-weighted inner product."""
     if not jnp.issubdtype(space.dtype, jnp.floating):
         raise TypeError("rfft_operator needs a real floating space")
-    cdt = jnp.complex64 if space.dtype == jnp.float32 else jnp.complex128
+    # complex128 only for f64 domains; bf16/f16/f32 all produce complex64
+    cdt = jnp.complex128 if space.dtype == jnp.float64 else jnp.complex64
     stored = space.shape[:-1] + (space.shape[-1] // 2 + 1,)
     rng = SymmetricSpace(stored, space.shape, cdt, axis=-1)
     j = Jet(

@@ -68,7 +68,7 @@ def radon_operator(
     # nt) must carry a real coefficient (same device as shift_operator)
     if nt % 2 == 0:
         ph[-1] = np.real(ph[-1])
-    cdtype = np.complex64 if np.dtype(dtype).itemsize == 4 else np.complex128
+    cdtype = np.complex128 if jnp.dtype(dtype) == jnp.float64 else np.complex64
     j = Jet(
         dom=Space((int(nt), len(slownesses)), dtype),
         rng=Space((int(nt), len(offsets)), dtype),

@@ -20,7 +20,12 @@ from jax import lax
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
-__all__ = ["stencil_operator", "blur2d_operator", "laplacian_operator"]
+__all__ = [
+    "laplacian_nd",
+    "stencil_operator",
+    "blur2d_operator",
+    "laplacian_operator",
+]
 
 
 def _stencil_df(dm, m0, state):
@@ -70,19 +75,24 @@ def blur2d_operator(shape: Sequence[int], radius: int = 2,
     return stencil_operator(Space(shape, dtype), k)
 
 
-def _laplacian_df(dm, m0, state):
+def laplacian_nd(x):
     """n-D Laplacian via shifted slices of a zero-padded array — pure VPU
     adds, measurably faster on TPU than a 1-channel XLA convolution, and
-    exactly symmetric with the zero boundary (so the op is self-adjoint)."""
-    nd = dm.ndim
-    xp = jnp.pad(dm, 1)
-    mid = tuple(slice(1, -1) for _ in range(nd))
-    out = (-2.0 * nd) * dm
+    exactly symmetric with the zero boundary (self-adjoint). THE single
+    shared implementation: the wave propagator and the fused seismic
+    flagship import this so their bit-exactness guarantees hold."""
+    nd = x.ndim
+    xp = jnp.pad(x, 1)
+    out = (-2.0 * nd) * x
     for ax in range(nd):
         lo = tuple(slice(0, -2) if i == ax else slice(1, -1) for i in range(nd))
         hi = tuple(slice(2, None) if i == ax else slice(1, -1) for i in range(nd))
         out = out + xp[lo] + xp[hi]
     return out
+
+
+def _laplacian_df(dm, m0, state):
+    return laplacian_nd(dm)
 
 
 def _laplacian_pallas_df(dm, m0, state):

@@ -41,15 +41,7 @@ from ..core.spaces import Space
 __all__ = ["wave_propagator", "born_operator", "multishot_wave_operator"]
 
 
-def _laplacian(u):
-    nd = u.ndim
-    xp = jnp.pad(u, 1)
-    out = (-2.0 * nd) * u
-    for ax in range(nd):
-        lo = tuple(slice(0, -2) if i == ax else slice(1, -1) for i in range(nd))
-        hi = tuple(slice(2, None) if i == ax else slice(1, -1) for i in range(nd))
-        out = out + xp[lo] + xp[hi]
-    return out
+from .stencil import laplacian_nd as _laplacian  # shared implementation
 
 
 def _sponge(shape, width: int, strength: float = 0.015):

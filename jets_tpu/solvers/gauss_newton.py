@@ -51,6 +51,7 @@ def gauss_newton(
     dnorm = float(F.rng.norm(d))
     residuals = []
     inner_its = []
+    converged = False
     for k in range(outer_iters):
         r = tr.sub(d, F(m))
         rnorm = float(F.rng.norm(r))
@@ -58,10 +59,14 @@ def gauss_newton(
         if callback is not None:
             callback(k, m, rnorm)
         if rnorm <= 1e-12 * max(dnorm, 1e-30):
-            break  # already at the data; an inner solve on ~0 would NaN
+            converged = True  # already at the data; an inner solve would NaN
+            break
         J = F.linearize(m)
         res = solve(J, r, maxiter=inner_iters, tol=inner_tol)
         inner_its.append(int(res.iterations))
         m = tr.xpay(m, step, res.x)
-    residuals.append(float(F.rng.norm(tr.sub(d, F(m)))))
+    if not converged:
+        # final residual of the last update (on early convergence the last
+        # appended entry already describes the unchanged model)
+        residuals.append(float(F.rng.norm(tr.sub(d, F(m)))))
     return GNResult(m, residuals, inner_its)

@@ -42,6 +42,24 @@ def _real(x):
     return jnp.real(x)
 
 
+def _normalize(space, vct):
+    """Return (vct/‖vct‖, ‖vct‖) with a safe division at exact zero."""
+    n = space.norm(vct)
+    safe = jnp.where(n > 0, n, 1.0)
+    return tr.scale(1.0 / safe, vct), n
+
+
+def _sym_ortho(a, bb):
+    """Stable Givens rotation (c, s, r) with the (0, 0) -> (1, 0, 0)
+    convention so recurrences stay NaN-free after exact convergence
+    (alpha/beta collapse to 0 once the Krylov space is exhausted)."""
+    r = jnp.sqrt(a**2 + bb**2)
+    rsafe = jnp.where(r > 0, r, 1.0)
+    c = jnp.where(r > 0, a / rsafe, 1.0)
+    s = jnp.where(r > 0, bb / rsafe, 0.0)
+    return c, s, r
+
+
 # ---------------------------------------------------------------------------
 # CG — Hermitian positive-definite systems A x = b
 # ---------------------------------------------------------------------------
@@ -52,6 +70,7 @@ class CGState(NamedTuple):
     r: Any
     p: Any
     rho: jax.Array
+    rnorm: jax.Array  # carried so cond() costs no extra reduction
     i: jax.Array
 
 
@@ -92,14 +111,14 @@ def cg(
         z = precond(r)
         p = z
         rho = _real(dom.dot(r, z))
-        st = CGState(x, r, p, rho, jnp.asarray(0))
+        st = CGState(x, r, p, rho, dom.norm(r), jnp.asarray(0))
     else:
         st = state
     hist0 = jnp.full((maxiter,), jnp.inf, dtype=bnorm.dtype)
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (dom.norm(st.r) > tol * bnorm)
+        return (st.i < maxiter) & (st.rnorm > tol * bnorm)
 
     def body(carry):
         st, hist = carry
@@ -114,11 +133,12 @@ def cg(
             st.rho > 0, rho_new / jnp.where(st.rho > 0, st.rho, 1.0), 0.0
         )
         p = tr.xpay(z, beta, st.p)
-        hist = hist.at[st.i].set(dom.norm(r))
-        return CGState(x, r, p, rho_new, st.i + 1), hist
+        rnorm = dom.norm(r)
+        hist = hist.at[st.i].set(rnorm)
+        return CGState(x, r, p, rho_new, rnorm, st.i + 1), hist
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
-    return SolveResult(st.x, st.i, dom.norm(st.r), hist, st)
+    return SolveResult(st.x, st.i, st.rnorm, hist, st)
 
 
 # ---------------------------------------------------------------------------
@@ -240,11 +260,6 @@ def lsqr(
     """
     dom, rng = A.dom, A.rng
 
-    def _normalize(space, vct):
-        n = space.norm(vct)
-        safe = jnp.where(n > 0, n, 1.0)
-        return tr.scale(1.0 / safe, vct), n
-
     if state is None:
         if x0 is None:
             x = dom.zeros()
@@ -258,10 +273,11 @@ def lsqr(
         a_safe = jnp.where(alpha > 0, alpha, 1.0)
         w = tr.scale(1.0 / a_safe, v_hat)
         st = LSQRState(x, u, v_hat, w, alpha, beta, alpha, jnp.asarray(0))
-        bnorm = beta
     else:
         st = state
-        bnorm = rng.norm(b)
+    # stopping baseline is ALWAYS ||b|| (the scipy/standard convention), so
+    # a resumed run continues the exact same criterion as a fresh one
+    bnorm = rng.norm(b)
     hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.phibar.dtype)
     damp = jnp.asarray(damp, dtype=st.phibar.dtype)
 
@@ -270,16 +286,6 @@ def lsqr(
         # phibar carries a sign through the rotations; only its magnitude is
         # the residual-norm estimate
         return (st.i < maxiter) & (jnp.abs(st.phibar) > tol * bnorm)
-
-    def _sym_ortho(a, bb):
-        """Stable Givens rotation (c, s, r) with the (0, 0) -> (1, 0, 0)
-        convention so the recurrence stays NaN-free after exact convergence
-        (alpha/beta collapse to 0 once the Krylov space is exhausted)."""
-        r = jnp.sqrt(a**2 + bb**2)
-        rsafe = jnp.where(r > 0, r, 1.0)
-        c = jnp.where(r > 0, a / rsafe, 1.0)
-        s = jnp.where(r > 0, bb / rsafe, 0.0)
-        return c, s, r
 
     def body(carry):
         st, hist = carry
@@ -362,18 +368,6 @@ def lsmr(
     """
     dom, rng = A.dom, A.rng
 
-    def _normalize(space, vct):
-        n = space.norm(vct)
-        safe = jnp.where(n > 0, n, 1.0)
-        return tr.scale(1.0 / safe, vct), n
-
-    def _sym_ortho(a, bb):
-        r = jnp.sqrt(a**2 + bb**2)
-        rsafe = jnp.where(r > 0, r, 1.0)
-        c = jnp.where(r > 0, a / rsafe, 1.0)
-        s = jnp.where(r > 0, bb / rsafe, 0.0)
-        return c, s, r
-
     damp = jnp.asarray(damp)
 
     if state is None:
@@ -393,10 +387,10 @@ def lsmr(
             rhobar=jnp.ones_like(alpha), cbar=jnp.ones_like(alpha),
             sbar=jnp.zeros_like(alpha), i=jnp.asarray(0),
         )
-        norm_atb = zetabar  # ||A'b|| estimate for the stopping test
     else:
         st = state
-        norm_atb = dom.norm(A.adjoint_apply(b))
+    # stopping baseline recomputed identically on fresh AND resumed runs
+    norm_atb = dom.norm(A.adjoint_apply(b))
     damp = damp.astype(st.zetabar.dtype)
     hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.zetabar.dtype)
 

@@ -117,6 +117,7 @@ class NLCGState(NamedTuple):
     g: Any
     p: Any
     alpha: jax.Array
+    g0norm: jax.Array  # ||grad|| at the ORIGINAL start — stable across resume
     i: jax.Array
 
 
@@ -138,11 +139,14 @@ def nlcg(
         phi0, g0 = fg(m0)
         st = NLCGState(
             m0, phi0, g0, tr.scale(-1.0, g0),
-            1.0 / jnp.maximum(_norm(g0), 1e-30), jnp.asarray(0),
+            1.0 / jnp.maximum(_norm(g0), 1e-30), _norm(g0), jnp.asarray(0),
         )
     else:
         st = state
-    g0norm = _norm(st.g)
+    # relative-tolerance baseline travels WITH the state, so a resumed run
+    # continues the original stopping criterion instead of demanding a
+    # further tol-factor reduction from wherever it resumed
+    g0norm = st.g0norm
     hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.phi.dtype)
 
     def cond(carry):
@@ -171,7 +175,7 @@ def nlcg(
         beta = jnp.maximum(_dot(g, y) / denom, 0.0)
         p_new = tr.tmap(lambda gg, pp: -gg + beta * pp, g, p)
         hist = hist.at[st.i].set(phi)
-        return NLCGState(m, phi, g, p_new, alpha, st.i + 1), hist
+        return NLCGState(m, phi, g, p_new, alpha, st.g0norm, st.i + 1), hist
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
     return OptResult(st.m, st.i, st.phi, _norm(st.g), hist, st)
@@ -187,6 +191,7 @@ class LBFGSState(NamedTuple):
     head: jax.Array  # next write slot
     count: jax.Array  # filled slots (<= mem)
     alpha: jax.Array
+    g0norm: jax.Array  # ||grad|| at the ORIGINAL start — stable across resume
     i: jax.Array
 
 
@@ -218,11 +223,11 @@ def lbfgs(
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt),
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(1.0, dt),
-            jnp.asarray(0),
+            _norm(g0), jnp.asarray(0),
         )
     else:
         st = state
-    g0norm = _norm(st.g)
+    g0norm = st.g0norm  # original baseline, stable across resume
     hist0 = jnp.full((maxiter,), jnp.inf, dtype=st.phi.dtype)
 
     def two_loop(g, S, Y, rho, head, count):
@@ -296,7 +301,10 @@ def lbfgs(
         count = jnp.where(accept, jnp.minimum(st.count + 1, mem), st.count)
         hist = hist.at[st.i].set(phi)
         return (
-            LBFGSState(m, phi, g, S, Y, rho, head, count, alpha, st.i + 1),
+            LBFGSState(
+                m, phi, g, S, Y, rho, head, count, alpha, st.g0norm,
+                st.i + 1,
+            ),
             hist,
         )
 

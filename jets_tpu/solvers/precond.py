@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.jet import Jet, LinearOperator, adjoint
 from ..ops.diagonal import diagonal_operator
+from ..utils import tree
 
 __all__ = ["normal_operator", "estimate_diagonal", "jacobi_preconditioner"]
 
@@ -52,22 +53,31 @@ def estimate_diagonal(
     A: LinearOperator,
     key: Optional[jax.Array] = None,
     nsamples: int = 32,
-) -> jax.Array:
+):
     """Hutchinson diagonal estimator for ``A^H A``:
-    ``diag ≈ mean_z [ z ⊙ (A^H A z) ]`` over Rademacher probes ``z`` —
-    exact in expectation, variance ~1/nsamples, all probes batched in one
-    vmapped XLA program."""
+    ``diag ≈ mean_z [ conj(z) ⊙ (A^H A z) ]`` over Rademacher probes ``z``
+    — exact in expectation, variance ~1/nsamples. Probes are built through
+    the domain space's own allocator, so block-space operators (whose
+    members are :class:`BlockVector` pytrees) work too; the unrolled sample
+    loop is one XLA program."""
     if key is None:
         key = jax.random.PRNGKey(0)
     dom = A.dom
     Ah = adjoint(A)
 
     def probe(k):
-        z = jax.random.rademacher(k, dom.shape, dtype=dom.dtype)
-        return z * Ah(A(z))
+        u = dom.rand(k)
+        z = tree.tmap(
+            lambda a: jnp.sign(jnp.real(a) - 0.5).astype(a.dtype), u
+        )
+        Nz = Ah(A(z))
+        return tree.tmap(lambda zz, nn: jnp.conj(zz) * nn, z, Nz)
 
-    samples = jax.vmap(probe)(jax.random.split(key, nsamples))
-    return jnp.mean(samples, axis=0)
+    acc = None
+    for k in jax.random.split(key, nsamples):
+        s = probe(k)
+        acc = s if acc is None else tree.add(acc, s)
+    return tree.scale(1.0 / nsamples, acc)
 
 
 def jacobi_preconditioner(
@@ -84,5 +94,15 @@ def jacobi_preconditioner(
     ``N = normal_operator(A)``."""
     if diag is None:
         diag = estimate_diagonal(A, key=key, nsamples=nsamples)
-    diag = jnp.maximum(jnp.real(diag), eps)
-    return diagonal_operator((1.0 / diag).astype(A.dom.dtype))
+    inv = tree.tmap(
+        lambda d: (1.0 / jnp.maximum(jnp.real(d), eps)).astype(A.dom.dtype),
+        diag,
+    )
+    if isinstance(inv, jnp.ndarray):
+        return diagonal_operator(inv)
+    # pytree (e.g. BlockVector) diagonal: generic elementwise multiply jet
+    def _df(dm, m0, state):
+        return tree.tmap(lambda w, x: w * x, state["w"], dm)
+
+    j = Jet(dom=A.dom, rng=A.dom, df=_df, dft="self", state={"w": inv})
+    return LinearOperator(j)

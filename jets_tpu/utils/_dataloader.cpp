@@ -22,6 +22,7 @@ namespace {
 
 struct Block {
     int64_t index;
+    bool ok = false;  // full block_bytes read; short reads yield ok=false
     std::vector<uint8_t> data;
 };
 
@@ -64,9 +65,10 @@ struct Loader {
                 if (r <= 0) break;
                 got += r;
             }
+            b.ok = (got == block_bytes);
             {
                 std::lock_guard<std::mutex> lk(mu);
-                if (got < block_bytes) failed = true;
+                if (!b.ok) failed = true;
                 ready.push(std::move(b));
             }
             cv_data.notify_one();
@@ -106,7 +108,7 @@ int64_t jets_loader_next(void* h, uint8_t* dst) {
     Block b = std::move(L->ready.front());
     L->ready.pop();
     L->cv_space.notify_one();
-    if (L->failed && b.data.empty()) return -2;
+    if (!b.ok) return -2;  // truncated/corrupt block: surface, never yield
     L->next_to_emit = b.index + 1;
     lk.unlock();
     std::memcpy(dst, b.data.data(), b.data.size());

@@ -17,8 +17,6 @@ from __future__ import annotations
 import ctypes
 import json
 import os
-import subprocess
-import tempfile
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -35,23 +33,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    from .native import build_and_load
+
     src = os.path.join(os.path.dirname(__file__), "_dataloader.cpp")
-    cache_dir = os.path.join(
-        tempfile.gettempdir(), f"jets_tpu_native_{os.getuid()}"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "libjets_loader.so")
-    if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
-        tmp = so_path + ".tmp"
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", tmp, src]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-            os.replace(tmp, so_path)
-        except (OSError, subprocess.SubprocessError):
-            return None
-    try:
-        lib = ctypes.CDLL(so_path)
-    except OSError:
+    lib = build_and_load(src, "libjets_loader")
+    if lib is None:
         return None
     lib.jets_loader_open.restype = ctypes.c_void_p
     lib.jets_loader_open.argtypes = [

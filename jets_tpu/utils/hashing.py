@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import tempfile
 from typing import Optional
 
 import jax
@@ -27,27 +25,13 @@ _TRIED = False
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
+    from .native import build_and_load
+
     src = os.path.join(os.path.dirname(__file__), "_crc32c.cpp")
-    cache_dir = os.path.join(
-        tempfile.gettempdir(), f"jets_tpu_native_{os.getuid()}"
+    lib = build_and_load(
+        src, "libjets_crc32c", optional_flags=("-msse4.2",), timeout=120
     )
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "libjets_crc32c.so")
-    if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
-        tmp = so_path + ".tmp"
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-msse4.2", "-o", tmp, src]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            try:  # retry without SSE4.2 (non-x86 hosts)
-                cmd.remove("-msse4.2")
-                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
-                return None
-        os.replace(tmp, so_path)
-    try:
-        lib = ctypes.CDLL(so_path)
-    except OSError:
+    if lib is None:
         return None
     lib.jets_crc32c.restype = ctypes.c_uint32
     lib.jets_crc32c.argtypes = [

@@ -91,3 +91,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_checkpoint_orbax(path, like)
     for k in state:
         assert np.array_equal(np.asarray(back[k]), np.asarray(state[k]))
+
+
+def test_estimate_diagonal_and_jacobi_on_block_operator():
+    # regression: block-space domains (BlockVector probes) must work
+    from jets_tpu.core.blockspace import BlockVector
+
+    k1, k2 = jax.random.split(KEY)
+    w1 = jt.Space((10,), jnp.float64).rand(k1) + 0.5
+    w2 = jt.Space((6,), jnp.float64).rand(k2) + 0.5
+    B = jt.block_operator([[diagonal_operator(w1), jt.zero_block(
+        jt.Space((6,), jnp.float64), jt.Space((10,), jnp.float64))],
+        [jt.zero_block(jt.Space((10,), jnp.float64), jt.Space((6,), jnp.float64)),
+         diagonal_operator(w2)]])
+    from jets_tpu.solvers.precond import estimate_diagonal, jacobi_preconditioner
+
+    d = estimate_diagonal(B, key=KEY, nsamples=4)
+    expect = np.concatenate([np.asarray(w1) ** 2, np.asarray(w2) ** 2])
+    got = np.asarray(B.dom.ravel(d))
+    assert np.allclose(got, expect, rtol=1e-12)
+    M = jacobi_preconditioner(B, diag=d)
+    z = M(B.dom.ones())
+    assert np.allclose(np.asarray(B.dom.ravel(z)), 1.0 / expect, rtol=1e-12)

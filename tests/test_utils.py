@@ -1,6 +1,8 @@
 """Hashing (native CRC32C) and checkpoint/resume round-trips."""
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,3 +139,24 @@ def test_shot_gather_loader_roundtrip(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         ShotGatherLoader(store, batch_shots=3)
+
+
+def test_loader_short_read_raises(tmp_path):
+    # a truncated/corrupt store must surface an error, never yield
+    # zero-filled data as if it were real observations
+    import numpy as np
+    from jets_tpu.utils.dataloader import ShotGatherLoader, ShotGatherStore
+
+    data = np.arange(4 * 8, dtype=np.float32).reshape(4, 8)
+    path = str(tmp_path / "shots.bin")
+    store = ShotGatherStore.create(path, data)
+    # truncate to 2.5 blocks
+    with open(path, "r+b") as f:
+        f.truncate(int(2.5 * 8 * 4))
+    loader = ShotGatherLoader(store, batch_shots=1)
+    seen = []
+    with pytest.raises((IOError, ValueError)):
+        for idx, block in loader:
+            seen.append(idx)
+            np.testing.assert_array_equal(block[0], data[idx])
+    assert len(seen) <= 2  # only the intact blocks were delivered
