@@ -5,10 +5,15 @@ companion packages (``JetPack``, ``JetPackDSP``, ``JetPackTransforms``,
 Submodules are importable directly (``jets_tpu.ops.diagonal`` …); the
 common constructors are re-exported here for convenience.
 """
+from .acquisition import blend_operator, lmo_operator
+from .causal import difference_operator, integration_operator
 from .conv import conv1d_operator, derivative_operator, gradient_operator
 from .diagonal import diagonal_operator
 from .dsp import (
     bandpass_operator,
+    envelope_operator,
+    mix_operator,
+    roughness_operator,
     mute_operator,
     resample_operator,
     shift_operator,
@@ -28,10 +33,12 @@ from .elementwise import (
     tanh_operator,
 )
 from .fft import fft_operator, rfft_operator
+from .interp import interp_operator
 from .matrix import matrix_operator
 from .radon import radon_operator
 from .stencil import blur2d_operator, laplacian_operator, stencil_operator
 from .transforms import (
+    circshift_operator,
     dct_operator,
     flip_operator,
     permutation_operator,
@@ -46,6 +53,15 @@ from .transforms import (
 from .wavelet import WAVELETS, wavelet_operator
 
 __all__ = [
+    "blend_operator",
+    "lmo_operator",
+    "difference_operator",
+    "integration_operator",
+    "interp_operator",
+    "envelope_operator",
+    "mix_operator",
+    "roughness_operator",
+    "circshift_operator",
     "conv1d_operator",
     "derivative_operator",
     "gradient_operator",

@@ -19,6 +19,7 @@ from typing import Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
@@ -26,6 +27,9 @@ from .diagonal import diagonal_operator
 
 __all__ = [
     "taper_operator",
+    "mix_operator",
+    "roughness_operator",
+    "envelope_operator",
     "bandpass_operator",
     "shift_operator",
     "resample_operator",
@@ -199,3 +203,132 @@ def mute_operator(space: Space, mask) -> LinearOperator:
     if mask.shape != space.shape:
         raise ValueError(f"mask shape {mask.shape} != space {space.shape}")
     return diagonal_operator(mask)
+
+
+def _box_sum(x, widths):
+    """Zero-padded 'same' box-window sum via ``lax.reduce_window`` — the
+    VPU-friendly separable moving sum."""
+    return lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=widths,
+        window_strides=(1,) * x.ndim,
+        padding="SAME",
+    )
+
+
+def _mix_df(dm, m0, state):
+    return state["scale"] * _box_sum(dm, state["widths"])
+
+
+def mix_operator(space: Space, widths: Sequence[int]) -> LinearOperator:
+    """Box moving average ('mix', JetPack's ``JopMix``): separable
+    odd-length box windows per axis, zero boundary, normalized by the full
+    window size. Symmetric kernel + zero padding ⇒ self-adjoint."""
+    widths = tuple(int(w) for w in widths)
+    if len(widths) != space.ndim:
+        raise ValueError(f"need {space.ndim} widths, got {len(widths)}")
+    if any(w < 1 or w % 2 == 0 for w in widths):
+        raise ValueError("mix widths must be odd and >= 1")
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("mix_operator needs a real floating space")
+    scale = 1.0 / float(np.prod(widths))
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_mix_df,
+        dft="self",
+        state={"widths": widths, "scale": jnp.asarray(scale, space.dtype)},
+    )
+    return LinearOperator(j)
+
+
+def _rough_df(dm, m0, state):
+    return dm - state["scale"] * _box_sum(dm, state["widths"])
+
+
+def roughness_operator(space: Space, widths: Sequence[int]) -> LinearOperator:
+    """Roughness (JetPack's ``JopRoughness``): the residual after box
+    smoothing, ``R = I - Mix``. Self-adjoint because Mix is; penalizing
+    ``||R m||`` regularizes toward smooth models."""
+    widths = tuple(int(w) for w in widths)
+    if len(widths) != space.ndim:
+        raise ValueError(f"need {space.ndim} widths, got {len(widths)}")
+    if any(w < 1 or w % 2 == 0 for w in widths):
+        raise ValueError("roughness widths must be odd and >= 1")
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("roughness_operator needs a real floating space")
+    scale = 1.0 / float(np.prod(widths))
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_rough_df,
+        dft="self",
+        state={"widths": widths, "scale": jnp.asarray(scale, space.dtype)},
+    )
+    return LinearOperator(j)
+
+
+def _hilbert(x, axis):
+    """Hilbert transform of a real signal: imag part of the analytic
+    signal, via full FFT with the one-sided multiplier."""
+    n = x.shape[axis]
+    X = jnp.fft.fft(x, axis=axis)
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    shape = [1] * x.ndim
+    shape[axis] = n
+    analytic = jnp.fft.ifft(X * jnp.asarray(h).reshape(shape), axis=axis)
+    return jnp.imag(analytic)
+
+
+def _env_f(m, state):
+    h = _hilbert(m, state["axis"])
+    return jnp.sqrt(m * m + h * h + state["eps"])
+
+def _env_upstate(m0, state):
+    h0 = _hilbert(m0, state["axis"])
+    e0 = jnp.sqrt(m0 * m0 + h0 * h0 + state["eps"])
+    return {"h0": h0, "e0": e0}
+
+
+def _env_df(dm, m0, state):
+    h0, e0 = state["h0"], state["e0"]
+    return (m0 * dm + h0 * _hilbert(dm, state["axis"])) / e0
+
+
+def _env_dft(dd, m0, state):
+    # H is skew-adjoint (H^T = -H for real signals), so the transpose of
+    # dm -> (m0*dm + h0*H(dm))/e0 is dd -> m0/e0*dd - H(h0/e0*dd).
+    h0, e0 = state["h0"], state["e0"]
+    return (m0 / e0) * dd - _hilbert((h0 / e0) * dd, state["axis"])
+
+
+def envelope_operator(space: Space, axis: int = -1,
+                      eps: float = 1e-20) -> "Operator":
+    """Instantaneous-amplitude envelope (JetPackDSP's ``JopEnvelope``):
+    ``e = sqrt(m^2 + H(m)^2 + eps)`` with the Hilbert transform ``H`` along
+    ``axis``. Nonlinear; the tangent/adjoint pair uses the precomputed
+    linearization-point envelope (``upstate`` hook). Complex FFT
+    intermediates ⇒ drive on CPU when the TPU tunnel lacks complex dtypes."""
+    from ..core.jet import Operator
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("envelope_operator needs a real floating space")
+    axis = int(axis) % space.ndim
+    j = Jet(
+        dom=space,
+        rng=space,
+        f=_env_f,
+        df=_env_df,
+        dft=_env_dft,
+        upstate=_env_upstate,
+        state={"axis": axis, "eps": jnp.asarray(eps, space.dtype),
+               "h0": None, "e0": None},
+    )
+    return Operator(j)

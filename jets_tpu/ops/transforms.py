@@ -17,6 +17,7 @@ from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
 __all__ = [
+    "circshift_operator",
     "dct_operator",
     "identity_operator",
     "pad_operator",
@@ -245,5 +246,31 @@ def permutation_operator(space: Space, perm) -> LinearOperator:
         df=_df,
         dft=_dft,
         state={"perm": perm, "inv": inv},
+    )
+    return LinearOperator(j)
+
+
+def _circshift_df(dm, m0, state):
+    return jnp.roll(dm, state["shifts"], axis=state["axes"])
+
+
+def _circshift_dft(dd, m0, state):
+    return jnp.roll(dd, tuple(-s for s in state["shifts"]), axis=state["axes"])
+
+
+def circshift_operator(space: Space, shifts: Sequence[int]) -> LinearOperator:
+    """Circular shift (JetPack's ``JopCircShift``): ``jnp.roll`` by
+    ``shifts[ax]`` per axis — a pure permutation, so unitary; the adjoint
+    (= inverse) rolls back. Reference companion packs named at
+    ``docs/src/index.md:14-19``."""
+    shifts = tuple(int(s) for s in shifts)
+    if len(shifts) != space.ndim:
+        raise ValueError(f"need {space.ndim} shifts, got {len(shifts)}")
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_circshift_df,
+        dft=_circshift_dft,
+        state={"shifts": shifts, "axes": tuple(range(space.ndim))},
     )
     return LinearOperator(j)
