@@ -1,6 +1,10 @@
 from .gauss_newton import gauss_newton, GNResult
 from .krylov import (
     cg,
+    gmres,
+    bicgstab,
+    GMRESState,
+    BiCGStabState,
     minres,
     MINRESState,
     cgls,
@@ -26,8 +30,9 @@ from .nonlinear import (
 )
 
 __all__ = [
-    "cg", "cgls", "lsqr", "lsmr", "minres",
+    "cg", "cgls", "lsqr", "lsmr", "minres", "gmres", "bicgstab",
     "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState",
+    "GMRESState", "BiCGStabState",
     "gauss_newton", "GNResult",
     "nlcg", "lbfgs", "least_squares_objective",
     "NLCGState", "LBFGSState", "OptResult",

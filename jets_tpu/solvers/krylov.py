@@ -35,7 +35,7 @@ from jax import lax
 from ..core.jet import LinearOperator
 from ..utils import tree as tr
 
-__all__ = ["cg", "cgls", "lsqr", "lsmr", "minres", "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState"]
+__all__ = ["cg", "cgls", "lsqr", "lsmr", "minres", "gmres", "bicgstab", "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState", "GMRESState", "BiCGStabState"]
 
 
 def _real(x):
@@ -536,3 +536,241 @@ def minres(
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
     return SolveResult(st.x, st.i, jnp.abs(st.eta), hist, st)
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab — square nonsymmetric systems, two applies per iteration
+# ---------------------------------------------------------------------------
+
+
+class BiCGStabState(NamedTuple):
+    x: Any
+    r: Any
+    rhat: Any  # fixed shadow residual
+    p: Any
+    v: Any
+    rho: jax.Array
+    alpha: jax.Array
+    omega: jax.Array
+    rnorm: jax.Array
+    i: jax.Array
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def bicgstab(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    state: Optional[BiCGStabState] = None,
+) -> SolveResult:
+    """BiCGStab (van der Vorst) for a SQUARE, possibly nonsymmetric
+    operator: adjoint-free — two forward applies per iteration, no ``A^H``
+    needed (unlike CGLS/LSQR which solve the least-squares problem).
+    Breakdown-safe: every division is guarded so the recurrence parks at
+    the current iterate instead of producing NaNs."""
+    dom = A.dom
+
+    def _sdiv(num, den):
+        ok = jnp.abs(den) > 0
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+    if state is None:
+        x = dom.zeros() if x0 is None else x0
+        r = tr.sub(b, A(x)) if x0 is not None else b
+        zero = tr.tmap(jnp.zeros_like, r)
+        one = jnp.ones((), dom.norm(r).dtype)
+        st = BiCGStabState(x, r, r, zero, zero, one, one, one,
+                           dom.norm(r), jnp.asarray(0))
+    else:
+        st = state
+    bnorm = dom.norm(b)
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=bnorm.dtype)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.i < maxiter) & (st.rnorm > tol * bnorm)
+
+    def body(carry):
+        st, hist = carry
+        rho_new = dom.dot(st.rhat, st.r)
+        beta = _sdiv(rho_new * st.alpha, st.rho * st.omega)
+        p = tr.tmap(
+            lambda r_, p_, v_: r_ + beta * (p_ - st.omega * v_),
+            st.r, st.p, st.v,
+        )
+        v = A(p)
+        alpha = _sdiv(rho_new, dom.dot(st.rhat, v))
+        s = tr.xpay(st.r, -alpha, v)
+        t = A(s)
+        omega = _sdiv(dom.dot(t, s), dom.dot(t, t))
+        x = tr.tmap(lambda x_, p_, s_: x_ + alpha * p_ + omega * s_,
+                    st.x, p, s)
+        r = tr.xpay(s, -omega, t)
+        rnorm = dom.norm(r)
+        hist = hist.at[st.i].set(rnorm)
+        return (
+            BiCGStabState(x, r, st.rhat, p, v, rho_new, alpha, omega,
+                          rnorm, st.i + 1),
+            hist,
+        )
+
+    st, hist = lax.while_loop(cond, body, (st, hist0))
+    return SolveResult(st.x, st.i, st.rnorm, hist, st)
+
+
+# ---------------------------------------------------------------------------
+# GMRES(restart) — square nonsymmetric systems, minimal residual
+# ---------------------------------------------------------------------------
+
+
+class GMRESState(NamedTuple):
+    x: Any
+    rnorm: jax.Array
+    i: jax.Array  # total inner iterations so far (restart-boundary resume)
+
+
+def _stack_zeros(leaves, m):
+    return tuple(jnp.zeros((m,) + l.shape, l.dtype) for l in leaves)
+
+
+def _row(stack, k):
+    return tuple(
+        lax.dynamic_index_in_dim(s, k, 0, keepdims=False) for s in stack
+    )
+
+
+def _set_row(stack, k, leaves):
+    return tuple(
+        lax.dynamic_update_index_in_dim(s, l, k, 0)
+        for s, l in zip(stack, leaves)
+    )
+
+
+def _dot_all(stack, leaves):
+    """<V_k, w> for ALL k at once: one fused batched reduction per leaf
+    (classical Gram-Schmidt, TPU-friendly — no sequential dot chain)."""
+    parts = [
+        jnp.tensordot(s, l, axes=(tuple(range(1, s.ndim)),
+                                  tuple(range(l.ndim))))
+        for s, l in zip(stack, leaves)
+    ]
+    return sum(parts)
+
+
+def _combine(stack, coeff):
+    """sum_k coeff[k] * V_k, batched over the stacked basis."""
+    return tuple(jnp.tensordot(coeff, s, axes=1) for s in stack)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "restart"))
+def gmres(
+    A: LinearOperator,
+    b,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    restart: int = 20,
+    tol: float = 1e-6,
+    state: Optional[GMRESState] = None,
+) -> SolveResult:
+    """Restarted GMRES for a SQUARE, nonsymmetric, real operator: minimizes
+    ``||A x - b||`` over each restart-cycle Krylov space.
+
+    TPU design: the Arnoldi basis is a stacked array (leading dim
+    ``restart+1``) so orthogonalization is classical Gram-Schmidt run TWICE
+    ("twice is enough") — two fused batched reductions per step instead of a
+    sequential modified-GS dot chain; unfilled basis rows are zero so no
+    masking is needed in the projection. Givens rotations condense the
+    Hessenberg column per step; the residual estimate ``|g[j+1]|`` is free.
+    ``maxiter`` counts total inner iterations; resume is at restart
+    granularity via ``state``."""
+    dom = A.dom
+    if jnp.issubdtype(dom.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "gmres supports real operators (complex Givens not implemented);"
+            " use lsqr/lsmr for complex systems"
+        )
+    m = int(restart)
+    bnorm = dom.norm(b)
+    leaves0, treedef = jax.tree_util.tree_flatten(b)
+
+    if state is None:
+        x = dom.zeros() if x0 is None else x0
+        r = tr.sub(b, A(x)) if x0 is not None else b
+        st = GMRESState(x, dom.norm(r), jnp.asarray(0))
+    else:
+        st = state
+    hist0 = jnp.full((maxiter,), jnp.inf, dtype=bnorm.dtype)
+
+    def _safe(v):
+        return jnp.where(jnp.abs(v) > 0, v, 1.0)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.i < maxiter) & (st.rnorm > tol * bnorm)
+
+    def cycle(carry):
+        st, hist = carry
+        r = tr.sub(b, A(st.x))
+        beta = dom.norm(r)
+        rl = jax.tree_util.tree_leaves(tr.scale(1.0 / _safe(beta), r))
+        V = _set_row(_stack_zeros(leaves0, m + 1), 0, rl)
+        H = jnp.zeros((m + 1, m), bnorm.dtype)
+        cs = jnp.zeros((m,), bnorm.dtype)
+        sn = jnp.zeros((m,), bnorm.dtype)
+        g = jnp.zeros((m + 1,), bnorm.dtype).at[0].set(beta)
+
+        def arnoldi(j, inner):
+            V, H, cs, sn, g, hist = inner
+            w = jax.tree_util.tree_leaves(
+                A(jax.tree_util.tree_unflatten(treedef, _row(V, j)))
+            )
+            # CGS2: project twice against the whole (zero-padded) basis
+            h = _dot_all(V, w)
+            w = [wl - cl for wl, cl in zip(w, _combine(V, h))]
+            h2 = _dot_all(V, w)
+            w = [wl - cl for wl, cl in zip(w, _combine(V, h2))]
+            h = h + h2
+            wnorm = jnp.sqrt(sum(jnp.vdot(wl, wl).real for wl in w))
+            V = _set_row(V, j + 1, [wl / _safe(wnorm) for wl in w])
+            hcol = h.at[j + 1].set(wnorm)
+
+            # apply previous rotations 0..j-1 to the new column
+            def rot(k, hc):
+                hk, hk1 = hc[k], hc[k + 1]
+                on = k < j
+                nk = jnp.where(on, cs[k] * hk + sn[k] * hk1, hk)
+                nk1 = jnp.where(on, -sn[k] * hk + cs[k] * hk1, hk1)
+                return hc.at[k].set(nk).at[k + 1].set(nk1)
+
+            hcol = lax.fori_loop(0, m, rot, hcol)
+            c, s, rr = _sym_ortho(hcol[j], hcol[j + 1])
+            hcol = hcol.at[j].set(rr).at[j + 1].set(0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            gj = g[j]
+            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+            H = lax.dynamic_update_slice(H, hcol[:, None], (0, j))
+            hist = hist.at[st.i + j].set(jnp.abs(g[j + 1]), mode="drop")
+            return V, H, cs, sn, g, hist
+
+        V, H, cs, sn, g, hist = lax.fori_loop(
+            0, m, arnoldi, (V, H, cs, sn, g, hist)
+        )
+        R = H[:m, :m]
+        # guard breakdown/early-convergence: dead columns get unit diagonal
+        diag = jnp.diagonal(R)
+        R = R + jnp.diag(jnp.where(jnp.abs(diag) > 0, 0.0, 1.0))
+        y = jax.scipy.linalg.solve_triangular(R, g[:m], lower=False)
+        dx = jax.tree_util.tree_unflatten(
+            treedef, _combine(tuple(v[:m] for v in V), y)
+        )
+        x = tr.add(st.x, dx)
+        rnorm = dom.norm(tr.sub(b, A(x)))
+        return GMRESState(x, rnorm, st.i + m), hist
+
+    st, hist = lax.while_loop(cond, cycle, (st, hist0))
+    return SolveResult(st.x, st.i, st.rnorm, hist, st)

@@ -221,3 +221,74 @@ def test_minres_resume():
     part = minres(A, b, maxiter=20, tol=0.0)
     cont = minres(A, b, maxiter=40, tol=0.0, state=part.state)
     assert float(cont.resnorm) <= float(full.resnorm) * (1 + 1e-6) + 1e-12
+
+
+# ---------------------------------------------------------- gmres/bicgstab
+
+def _nonsymmetric_problem(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    N = rng.standard_normal((n, n)) / np.sqrt(n)
+    M = np.eye(n) + 0.5 * N  # well-conditioned, nonsymmetric
+    x_true = rng.standard_normal(n)
+    return M, x_true, M @ x_true
+
+
+def test_gmres_matches_dense_solve():
+    from jets_tpu.solvers import gmres
+    M, x_true, b = _nonsymmetric_problem()
+    A = matrix_operator(jnp.asarray(M))
+    res = gmres(A, jnp.asarray(b), maxiter=120, restart=20, tol=1e-12)
+    assert np.allclose(np.asarray(res.x), x_true, atol=1e-8)
+    # inner-iteration residual history is populated and decreasing overall
+    h = np.asarray(res.history)
+    h = h[np.isfinite(h)]
+    assert h[-1] < 1e-10 * h[0] + 1e-12
+
+
+def test_gmres_single_cycle_exact_in_n_steps():
+    from jets_tpu.solvers import gmres
+    M, x_true, b = _nonsymmetric_problem(n=24)
+    A = matrix_operator(jnp.asarray(M))
+    # restart >= n: exact (up to roundoff) in one cycle
+    res = gmres(A, jnp.asarray(b), maxiter=24, restart=24, tol=0.0)
+    assert np.allclose(np.asarray(res.x), x_true, atol=1e-8)
+
+
+def test_gmres_resume_restart_boundary():
+    from jets_tpu.solvers import gmres
+    M, x_true, b = _nonsymmetric_problem()
+    A = matrix_operator(jnp.asarray(M))
+    full = gmres(A, jnp.asarray(b), maxiter=40, restart=10, tol=0.0)
+    half = gmres(A, jnp.asarray(b), maxiter=20, restart=10, tol=0.0)
+    resumed = gmres(A, jnp.asarray(b), maxiter=40, restart=10, tol=0.0,
+                    state=half.state)
+    assert np.allclose(np.asarray(resumed.x), np.asarray(full.x), atol=1e-10)
+
+
+def test_bicgstab_matches_dense_solve():
+    from jets_tpu.solvers import bicgstab
+    M, x_true, b = _nonsymmetric_problem()
+    A = matrix_operator(jnp.asarray(M))
+    res = bicgstab(A, jnp.asarray(b), maxiter=200, tol=1e-12)
+    assert np.allclose(np.asarray(res.x), x_true, atol=1e-7)
+
+
+def test_bicgstab_breakdown_safe_on_zero_rhs():
+    from jets_tpu.solvers import bicgstab
+    M, _, _ = _nonsymmetric_problem()
+    A = matrix_operator(jnp.asarray(M))
+    res = bicgstab(A, jnp.zeros(60), maxiter=10)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert np.allclose(np.asarray(res.x), 0.0)
+
+
+def test_gmres_on_composite_nonsymmetric_operator():
+    from jets_tpu.solvers import gmres
+    sp = jt.Space((48,), jnp.float64)
+    # nonsymmetric: circshift(1) + 2I  (well-conditioned, not normal-free)
+    from jets_tpu.ops import circshift_operator, identity_operator
+    A = circshift_operator(sp, (1,)) + 2.0 * identity_operator(sp)
+    x_true = sp.randn(jax.random.PRNGKey(2))
+    b = A(x_true)
+    res = gmres(A, b, maxiter=96, restart=16, tol=1e-13)
+    assert np.allclose(np.asarray(res.x), np.asarray(x_true), atol=1e-8)
