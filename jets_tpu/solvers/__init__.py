@@ -1,6 +1,9 @@
 from .gauss_newton import gauss_newton, GNResult
 from .krylov import (
     cg,
+    chebyshev,
+    estimate_spectral_bounds,
+    ChebyshevState,
     gmres,
     bicgstab,
     GMRESState,
@@ -31,8 +34,9 @@ from .nonlinear import (
 
 __all__ = [
     "cg", "cgls", "lsqr", "lsmr", "minres", "gmres", "bicgstab",
+    "chebyshev", "estimate_spectral_bounds",
     "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState",
-    "GMRESState", "BiCGStabState",
+    "GMRESState", "BiCGStabState", "ChebyshevState",
     "gauss_newton", "GNResult",
     "nlcg", "lbfgs", "least_squares_objective",
     "NLCGState", "LBFGSState", "OptResult",

@@ -35,7 +35,7 @@ from jax import lax
 from ..core.jet import LinearOperator
 from ..utils import tree as tr
 
-__all__ = ["cg", "cgls", "lsqr", "lsmr", "minres", "gmres", "bicgstab", "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState", "GMRESState", "BiCGStabState"]
+__all__ = ["cg", "cgls", "lsqr", "lsmr", "minres", "gmres", "bicgstab", "chebyshev", "estimate_spectral_bounds", "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState", "GMRESState", "BiCGStabState", "ChebyshevState"]
 
 
 def _real(x):
@@ -774,3 +774,125 @@ def gmres(
 
     st, hist = lax.while_loop(cond, cycle, (st, hist0))
     return SolveResult(st.x, st.i, st.rnorm, hist, st)
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev semi-iteration — reduction-free SPD solver for multi-host runs
+# ---------------------------------------------------------------------------
+
+
+class ChebyshevState(NamedTuple):
+    x: Any
+    r: Any
+    p: Any
+    alpha: jax.Array
+    beta: jax.Array
+    i: jax.Array
+
+
+@partial(jax.jit, static_argnames=("maxiter", "check_every"))
+def chebyshev(
+    A: LinearOperator,
+    b,
+    lmin: float,
+    lmax: float,
+    x0=None,
+    *,
+    maxiter: int = 100,
+    tol: float = 1e-6,
+    check_every: int = 10,
+    state: Optional[ChebyshevState] = None,
+) -> SolveResult:
+    """Chebyshev semi-iteration on an SPD operator with spectrum inside
+    ``[lmin, lmax]`` (estimate via :func:`estimate_spectral_bounds`).
+
+    The multi-host scaling solver: unlike CG, the recurrence has **no inner
+    products** — one operator apply and two axpys per iteration, so on a
+    sharded block operator no per-iteration cross-host reduction exists at
+    all (SURVEY §7's "fuse the reductions" taken to its limit). The residual
+    norm (one collective) is evaluated only every ``check_every`` iterations
+    for the stopping test and history."""
+    dom = A.dom
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    bnorm = dom.norm(b)
+    if state is None:
+        x = dom.zeros() if x0 is None else x0
+        r = tr.sub(b, A(x)) if x0 is not None else b
+        st = ChebyshevState(
+            x, r, tr.tmap(jnp.zeros_like, r),
+            jnp.asarray(0.0, bnorm.dtype), jnp.asarray(0.0, bnorm.dtype),
+            jnp.asarray(0),
+        )
+    else:
+        st = state
+    nchecks = -(-maxiter // check_every)
+    hist0 = jnp.full((nchecks,), jnp.inf, dtype=bnorm.dtype)
+
+    def cond(carry):
+        st, _, rnorm = carry
+        return (st.i < maxiter) & (rnorm > tol * bnorm)
+
+    def body(carry):
+        st, hist, rnorm = carry
+
+        def inner(_, s):
+            # standard Chebyshev recurrence on alpha/beta scalars — all
+            # device-local, no reductions
+            beta = jnp.where(
+                s.i == 0,
+                0.0,
+                jnp.where(
+                    s.i == 1,
+                    0.5 * (delta * s.alpha) ** 2,
+                    (0.5 * delta * s.alpha) ** 2,
+                ),
+            )
+            alpha = jnp.where(
+                s.i == 0, 1.0 / theta, 1.0 / (theta - beta / s.alpha)
+            )
+            p = tr.xpay(s.r, beta, s.p)
+            x = tr.xpay(s.x, alpha, p)
+            r = tr.xpay(s.r, -alpha, A(p))
+            return ChebyshevState(x, r, p, alpha, beta, s.i + 1)
+
+        st = lax.fori_loop(0, check_every, inner, st)
+        rnorm = dom.norm(st.r)  # the only collective, every check_every its
+        hist = hist.at[(st.i - 1) // check_every].set(rnorm, mode="drop")
+        return st, hist, rnorm
+
+    st, hist, rnorm = lax.while_loop(
+        cond, body, (st, hist0, dom.norm(st.r))
+    )
+    return SolveResult(st.x, st.i, rnorm, hist, st)
+
+
+def estimate_spectral_bounds(
+    A: LinearOperator, key: Optional[jax.Array] = None, *, iters: int = 30,
+    safety: float = 1.05,
+):
+    """(lmin, lmax) estimates for an SPD operator: power iteration for
+    ``lmax`` (inflated by ``safety``), then power iteration on
+    ``lmax I - A`` for ``lmin`` (deflated). Cheap setup for
+    :func:`chebyshev`."""
+    dom = A.dom
+    if key is None:
+        key = jax.random.PRNGKey(23)
+    k1, k2 = jax.random.split(key)
+
+    def power(op_apply, v0):
+        def step(_, carry):
+            v, lam = carry
+            w = op_apply(v)
+            lam = dom.norm(w)
+            return tr.scale(1.0 / jnp.where(lam > 0, lam, 1.0), w), lam
+
+        _, lam = lax.fori_loop(0, iters, step, (v0, jnp.asarray(0.0)))
+        return lam
+
+    v1, _ = _normalize(dom, dom.randn(k1))
+    lmax = power(A, v1) * safety
+    v2, _ = _normalize(dom, dom.randn(k2))
+    lmin_shift = power(lambda v: tr.xpay(tr.scale(lmax, v), -1.0, A(v)), v2)
+    lmin = jnp.maximum(lmax - lmin_shift, 0.0) / safety
+    return lmin, lmax

@@ -292,3 +292,40 @@ def test_gmres_on_composite_nonsymmetric_operator():
     b = A(x_true)
     res = gmres(A, b, maxiter=96, restart=16, tol=1e-13)
     assert np.allclose(np.asarray(res.x), np.asarray(x_true), atol=1e-8)
+
+
+# ------------------------------------------------------------- chebyshev
+
+def test_chebyshev_converges_on_spd():
+    from jets_tpu.solvers import chebyshev, estimate_spectral_bounds
+    rng = np.random.default_rng(11)
+    n = 80
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(1.0, 10.0, n)
+    M = (Q * lam) @ Q.T  # SPD, spectrum exactly [1, 10]
+    A = matrix_operator(jnp.asarray(M))
+    x_true = rng.standard_normal(n)
+    b = jnp.asarray(M @ x_true)
+    lmin, lmax = estimate_spectral_bounds(A)
+    assert float(lmax) >= 10.0 and float(lmin) <= 10.0
+    res = chebyshev(A, b, float(max(lmin, 0.5)), float(lmax),
+                    maxiter=300, tol=1e-10, check_every=10)
+    assert np.allclose(np.asarray(res.x), x_true, atol=1e-6)
+    h = np.asarray(res.history)
+    h = h[np.isfinite(h)]
+    assert h[-1] < h[0]
+
+
+def test_chebyshev_resume_matches_full():
+    from jets_tpu.solvers import chebyshev
+    rng = np.random.default_rng(12)
+    n = 40
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    M = (Q * np.linspace(1.0, 5.0, n)) @ Q.T
+    A = matrix_operator(jnp.asarray(M))
+    b = jnp.asarray(rng.standard_normal(n))
+    full = chebyshev(A, b, 1.0, 5.0, maxiter=60, tol=0.0, check_every=10)
+    half = chebyshev(A, b, 1.0, 5.0, maxiter=30, tol=0.0, check_every=10)
+    resumed = chebyshev(A, b, 1.0, 5.0, maxiter=60, tol=0.0,
+                        check_every=10, state=half.state)
+    assert np.allclose(np.asarray(resumed.x), np.asarray(full.x), atol=1e-12)
