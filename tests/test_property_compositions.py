@@ -16,6 +16,11 @@ import jets_tpu as jt
 from jets_tpu.core.verify import dot_product_test, materialize
 from jets_tpu.ops import (
     bandpass_operator,
+    circshift_operator,
+    difference_operator,
+    integration_operator,
+    mix_operator,
+    roughness_operator,
     conv1d_operator,
     dct_operator,
     diagonal_operator,
@@ -44,6 +49,11 @@ def _pool(rng):
         bandpass_operator(SP, 0.01, 5.0, 40.0, f_taper=3.0),
         shift_operator(SP, 1.5, dt=1.0),
         taper_operator(SP, (3,)),
+        circshift_operator(SP, (3,)),
+        difference_operator(SP),
+        integration_operator(SP, alpha=0.8),
+        mix_operator(SP, (3,)),
+        roughness_operator(SP, (5,)),
     ]
 
 
