@@ -14,6 +14,7 @@ from .dsp import (
     envelope_operator,
     mix_operator,
     roughness_operator,
+    translation_operator,
     mute_operator,
     resample_operator,
     shift_operator,
@@ -39,6 +40,7 @@ from .radon import radon_operator
 from .stencil import blur2d_operator, laplacian_operator, stencil_operator
 from .transforms import (
     circshift_operator,
+    projection_operator,
     dct_operator,
     flip_operator,
     permutation_operator,
@@ -62,6 +64,8 @@ __all__ = [
     "mix_operator",
     "roughness_operator",
     "circshift_operator",
+    "projection_operator",
+    "translation_operator",
     "conv1d_operator",
     "derivative_operator",
     "gradient_operator",

@@ -27,6 +27,7 @@ from .diagonal import diagonal_operator
 
 __all__ = [
     "taper_operator",
+    "translation_operator",
     "mix_operator",
     "roughness_operator",
     "envelope_operator",
@@ -332,3 +333,25 @@ def envelope_operator(space: Space, axis: int = -1,
                "h0": None, "e0": None},
     )
     return Operator(j)
+
+
+def translation_operator(space: Space, shifts: Sequence[float],
+                         dts: Sequence[float] | None = None):
+    """n-D (possibly fractional) periodic translation (JetPack's
+    ``JopTranslation``): the separable composition of per-axis Fourier
+    :func:`shift_operator`s — each axis is one batched rFFT phase ramp.
+    ``shifts[ax]`` is in the units of ``dts[ax]`` (samples if omitted)."""
+    shifts = tuple(float(s) for s in shifts)
+    if len(shifts) != space.ndim:
+        raise ValueError(f"need {space.ndim} shifts, got {len(shifts)}")
+    dts = (1.0,) * space.ndim if dts is None else tuple(float(d) for d in dts)
+    op = None
+    for ax, (s, dt) in enumerate(zip(shifts, dts)):
+        if s == 0.0:
+            continue
+        nxt = shift_operator(space, s, dt=dt, axis=ax)
+        op = nxt if op is None else (nxt @ op)
+    if op is None:
+        from .transforms import identity_operator
+        return identity_operator(space)
+    return op

@@ -12,12 +12,14 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
 __all__ = [
     "circshift_operator",
+    "projection_operator",
     "dct_operator",
     "identity_operator",
     "pad_operator",
@@ -273,4 +275,38 @@ def circshift_operator(space: Space, shifts: Sequence[int]) -> LinearOperator:
         dft=_circshift_dft,
         state={"shifts": shifts, "axes": tuple(range(space.ndim))},
     )
+    return LinearOperator(j)
+
+
+def _proj_df(dm, m0, state):
+    Q = state["Q"]
+    ndim = dm.ndim
+    coeff = jnp.tensordot(jnp.conj(Q), dm,
+                          axes=(tuple(range(1, ndim + 1)),
+                                tuple(range(ndim))))
+    out = jnp.tensordot(coeff, Q, axes=1)
+    if state["complement"]:
+        return dm - out
+    return out
+
+
+def projection_operator(vectors, complement: bool = False) -> LinearOperator:
+    """Orthogonal projection onto ``span(vectors)`` (JetPack's
+    ``JopProjection``): ``P = Q Q^H`` after a host-side QR orthonormalization
+    of the ``(k, *shape)`` stack. ``complement=True`` gives ``I - P``.
+    Idempotent and self-adjoint; the apply is two small matmuls (MXU work),
+    never materializing the n×n projector."""
+    V = jnp.asarray(vectors)
+    if V.ndim < 2:
+        V = V[None]
+    k = V.shape[0]
+    flat = np.asarray(V.reshape(k, -1)).T  # (n, k)
+    q, r = np.linalg.qr(flat)
+    # drop directions lost to rank deficiency
+    keep = np.abs(np.diagonal(r)) > 1e-12 * max(np.abs(np.diagonal(r)).max(), 1e-300)
+    q = q[:, keep]
+    Q = jnp.asarray(q.T.reshape((-1,) + V.shape[1:]), dtype=V.dtype)
+    sp = Space(V.shape[1:], V.dtype)
+    j = Jet(dom=sp, rng=sp, df=_proj_df, dft="self",
+            state={"Q": Q, "complement": bool(complement)})
     return LinearOperator(j)

@@ -190,3 +190,53 @@ def test_envelope_of_analytic_tone_is_flat():
     F = envelope_operator(sp)
     e = np.asarray(F(x))
     assert np.allclose(e, 1.0, atol=1e-10)
+
+
+# ------------------------------------------------------------- projection
+
+def test_projection_idempotent_self_adjoint():
+    from jets_tpu.ops import projection_operator
+    rng = np.random.default_rng(4)
+    V = rng.standard_normal((3, 6, 5))
+    P = projection_operator(jnp.asarray(V))
+    _dp_gate(P)
+    M = np.asarray(materialize(P))
+    assert np.allclose(M, M.T, atol=1e-12)          # self-adjoint
+    assert np.allclose(M @ M, M, atol=1e-12)        # idempotent
+    assert np.isclose(np.trace(M), 3.0, atol=1e-10)  # rank = k
+    # P fixes the spanning vectors
+    v0 = jnp.asarray(V[0])
+    assert np.allclose(np.asarray(P(v0)), np.asarray(v0), atol=1e-10)
+
+
+def test_projection_complement_and_rank_deficiency():
+    from jets_tpu.ops import projection_operator
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(12)
+    V = np.stack([v, 2 * v, rng.standard_normal(12)])  # rank 2, not 3
+    P = projection_operator(jnp.asarray(V))
+    C = projection_operator(jnp.asarray(V), complement=True)
+    M, MC = np.asarray(materialize(P)), np.asarray(materialize(C))
+    assert np.isclose(np.trace(M), 2.0, atol=1e-10)
+    assert np.allclose(M + MC, np.eye(12), atol=1e-12)
+    _dp_gate(C)
+
+
+# ------------------------------------------------------------ translation
+
+def test_translation_matches_integer_roll():
+    from jets_tpu.ops import translation_operator
+    sp = jt.Space((16, 32), jnp.float64)
+    T = translation_operator(sp, (3.0, -5.0))
+    _dp_gate(T)
+    x = np.asarray(sp.randn(KEY))
+    got = np.asarray(T(jnp.asarray(x)))
+    assert np.allclose(got, np.roll(x, (3, -5), axis=(0, 1)), atol=1e-10)
+
+
+def test_translation_zero_shift_is_identity():
+    from jets_tpu.ops import translation_operator
+    sp = jt.Space((8,), jnp.float64)
+    T = translation_operator(sp, (0.0,))
+    x = sp.randn(KEY)
+    assert np.allclose(np.asarray(T(x)), np.asarray(x))
