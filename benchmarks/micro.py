@@ -132,6 +132,17 @@ def main():
     timeit("extras/lsqr_20iters",
            lambda: jax.block_until_ready(
                lsqr(Dl, bl, maxiter=20, tol=0.0).x))
+    from jets_tpu.solvers import bicgstab, chebyshev, gmres
+    timeit("extras/gmres_1cycle",
+           lambda: jax.block_until_ready(
+               gmres(Dl, bl, maxiter=20, restart=20, tol=0.0).x))
+    timeit("extras/bicgstab_20iters",
+           lambda: jax.block_until_ready(
+               bicgstab(Dl, bl, maxiter=20, tol=0.0).x))
+    timeit("extras/chebyshev_20iters",
+           lambda: jax.block_until_ready(
+               chebyshev(Dl, bl, 0.25, 2.5, maxiter=20, tol=0.0,
+                         check_every=10).x))
 
     print(f"\n{'entry':38s} {'median us':>12s}")
     print("-" * 52)

@@ -6,7 +6,7 @@ Submodules are importable directly (``jets_tpu.ops.diagonal`` …); the
 common constructors are re-exported here for convenience.
 """
 from .acquisition import blend_operator, lmo_operator
-from .causal import difference_operator, integration_operator
+from .causal import difference_operator, integration_operator, nim_operator
 from .conv import conv1d_operator, derivative_operator, gradient_operator
 from .diagonal import diagonal_operator
 from .dsp import (
@@ -59,6 +59,7 @@ __all__ = [
     "lmo_operator",
     "difference_operator",
     "integration_operator",
+    "nim_operator",
     "interp_operator",
     "envelope_operator",
     "mix_operator",

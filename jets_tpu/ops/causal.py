@@ -17,7 +17,7 @@ from jax import lax
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
-__all__ = ["integration_operator", "difference_operator"]
+__all__ = ["integration_operator", "difference_operator", "nim_operator"]
 
 
 def _leaky_scan(x, alpha, axis):
@@ -96,3 +96,60 @@ def difference_operator(space: Space, axis: int = -1) -> LinearOperator:
     j = Jet(dom=space, rng=space, df=_diff_df, dft=_diff_dft,
             state={"axis": axis})
     return LinearOperator(j)
+
+
+def _nim_f(m, state):
+    ax, p = state["axis"], state["p"]
+    u = m ** p
+    S = jnp.sum(u, axis=ax, keepdims=True)
+    S = jnp.where(jnp.abs(S) > 0, S, 1.0)
+    return jnp.cumsum(u, axis=ax) / S
+
+
+def _nim_upstate(m0, state):
+    ax, p = state["axis"], state["p"]
+    u0 = m0 ** p
+    S0 = jnp.sum(u0, axis=ax, keepdims=True)
+    S0 = jnp.where(jnp.abs(S0) > 0, S0, 1.0)
+    return {"du_dm": p * m0 ** (p - 1), "U0": jnp.cumsum(u0, axis=ax),
+            "S0": S0}
+
+
+def _nim_df(dm, m0, state):
+    ax = state["axis"]
+    du = state["du_dm"] * dm
+    dU = jnp.cumsum(du, axis=ax)
+    dS = jnp.sum(du, axis=ax, keepdims=True)
+    return dU / state["S0"] - state["U0"] * dS / state["S0"] ** 2
+
+
+def _nim_dft(dd, m0, state):
+    ax = state["axis"]
+    S0, U0 = state["S0"], state["U0"]
+    # transpose of cumsum is the anticausal cumsum; of sum, a broadcast
+    acc = jnp.flip(jnp.cumsum(jnp.flip(dd / S0, ax), axis=ax), ax)
+    corr = jnp.sum(dd * U0 / S0 ** 2, axis=ax, keepdims=True)
+    return state["du_dm"] * (acc - corr)
+
+
+def nim_operator(space: Space, p: float = 2.0, axis: int = -1):
+    """Normalized integration (JetPack's ``JopNim``): the cumulative sum of
+    ``m^p`` along ``axis`` normalized by its total — a monotone [0, 1]
+    profile per trace (even ``p``), the time-lapse warping workhorse.
+    Nonlinear; tangent/adjoint handwritten with ``upstate``-precomputed
+    linearization-point quantities."""
+    from ..core.jet import Operator
+    axis = int(axis) % space.ndim
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("nim_operator needs a real floating space")
+    j = Jet(
+        dom=space,
+        rng=space,
+        f=_nim_f,
+        df=_nim_df,
+        dft=_nim_dft,
+        upstate=_nim_upstate,
+        state={"axis": axis, "p": float(p), "du_dm": None, "U0": None,
+               "S0": None},
+    )
+    return Operator(j)

@@ -240,3 +240,26 @@ def test_translation_zero_shift_is_identity():
     T = translation_operator(sp, (0.0,))
     x = sp.randn(KEY)
     assert np.allclose(np.asarray(T(x)), np.asarray(x))
+
+
+# ------------------------------------------------------------------- nim
+
+def test_nim_monotone_profile_and_linearization():
+    from jets_tpu.ops import nim_operator
+    sp = jt.Space((3, 40), jnp.float64)
+    F = nim_operator(sp, p=2.0, axis=1)
+    m0 = sp.randn(KEY) + 0.1
+    d = np.asarray(F(m0))
+    assert np.all(np.diff(d, axis=1) >= -1e-14)          # monotone (p even)
+    assert np.allclose(d[:, -1], 1.0, atol=1e-12)        # normalized
+    obs, exp = linearization_test(F, m0)
+    assert np.allclose(np.asarray(obs)[-2:], np.asarray(exp)[-2:], rtol=0.2)
+    # handwritten tangent/adjoint pair passes the gate
+    J = F.linearize(m0)
+    lhs, rhs = dot_product_test(J, sp.randn(jax.random.PRNGKey(1)),
+                                sp.randn(jax.random.PRNGKey(2)))
+    assert abs(lhs - rhs) <= 1e-10 * (abs(lhs) + abs(rhs))
+    # tangent matches jax.jvp of the forward
+    dm = sp.randn(jax.random.PRNGKey(3))
+    jvp = jax.jvp(lambda m: F(m), (m0,), (dm,))[1]
+    assert np.allclose(np.asarray(J(dm)), np.asarray(jvp), atol=1e-12)
