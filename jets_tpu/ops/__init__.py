@@ -5,7 +5,7 @@ companion packages (``JetPack``, ``JetPackDSP``, ``JetPackTransforms``,
 Submodules are importable directly (``jets_tpu.ops.diagonal`` …); the
 common constructors are re-exported here for convenience.
 """
-from .acquisition import blend_operator, lmo_operator
+from .acquisition import blend_operator, lmo_operator, reghost_operator
 from .causal import difference_operator, integration_operator, nim_operator
 from .conv import conv1d_operator, derivative_operator, gradient_operator
 from .diagonal import diagonal_operator
@@ -57,6 +57,7 @@ from .wavelet import WAVELETS, wavelet_operator
 __all__ = [
     "blend_operator",
     "lmo_operator",
+    "reghost_operator",
     "difference_operator",
     "integration_operator",
     "nim_operator",

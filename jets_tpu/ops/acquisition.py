@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
-__all__ = ["blend_operator", "lmo_operator"]
+__all__ = ["blend_operator", "lmo_operator", "reghost_operator"]
 
 
 def _blend_df(dm, m0, state):
@@ -99,5 +99,68 @@ def lmo_operator(space: Space, dt: float, offsets, slowness: float
         df=_lmo_df,
         dft=_lmo_dft,
         state={"phase": jnp.asarray(phase.astype(cdtype))},
+    )
+    return LinearOperator(j)
+
+
+def _reghost_df(dm, m0, state):
+    D = jnp.fft.fft2(dm)
+    return jnp.real(jnp.fft.ifft2(D * state["G"]))
+
+
+def _reghost_dft(dd, m0, state):
+    D = jnp.fft.fft2(dd)
+    # FK multiplier adjoint: conjugate-reflected filter; our G is built
+    # Hermitian-symmetric (real impulse response), so conj(G) suffices
+    return jnp.real(jnp.fft.ifft2(D * jnp.conj(state["G"])))
+
+
+def reghost_operator(
+    space: Space,
+    dt: float,
+    dx: float,
+    depth: float,
+    c: float = 1500.0,
+    sea_surface_reflectivity: float = -1.0,
+) -> LinearOperator:
+    """Receiver-side ghost model in the FK domain (the ``JopReghost`` /
+    JetPackWaveFD family, companion packs named at
+    ``docs/src/index.md:14-19``): a ghost-free ``(nx, nt)`` gather acquires
+    the surface ghost ``d_ghost = (1 + R e^{-2 i ω k_z(depth)/ω ...})``,
+    i.e. each plane-wave component is delayed by the two-way vertical
+    travel to the free surface and scaled by the reflectivity ``R``.
+
+    ``G(f, k) = 1 + R exp(-4 π i k_z depth)`` with
+    ``k_z = sqrt((f/c)² - k²)`` for propagating waves and exponentially
+    decaying (evanescent) amplitude beyond the critical wavenumber. Purely
+    diagonal in FK ⇒ one batched 2-D FFT each way; adjoint is the conjugate
+    multiplier. Complex intermediates ⇒ drive on CPU when the TPU tunnel
+    lacks complex dtypes (repo notes); Hermitian symmetry of ``G`` keeps
+    real gathers real.
+    """
+    if space.ndim != 2:
+        raise ValueError("reghost_operator expects a (nx, nt) space")
+    if not jnp.issubdtype(space.dtype, jnp.floating):
+        raise TypeError("reghost_operator needs a real floating space")
+    nx, nt = space.shape
+    f = np.fft.fftfreq(nt, d=dt)          # temporal frequency (Hz)
+    k = np.fft.fftfreq(nx, d=dx)          # spatial wavenumber (1/m)
+    F = np.broadcast_to(f.reshape(1, nt), (nx, nt))
+    K = np.broadcast_to(k.reshape(nx, 1), (nx, nt))
+    kz2 = (F / c) ** 2 - K ** 2
+    prop = kz2 >= 0.0
+    kz = np.sqrt(np.abs(kz2))
+    # propagating: pure phase delay with SIGNED frequency (odd in f, so G is
+    # Hermitian and real gathers stay exactly real); evanescent: real decay
+    phase = np.where(prop, np.exp(-4j * np.pi * np.sign(F) * kz * depth),
+                     np.exp(-4.0 * np.pi * kz * depth))
+    G = 1.0 + sea_surface_reflectivity * phase
+    cdtype = np.complex128 if np.dtype(space.dtype) == np.float64 else np.complex64
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_reghost_df,
+        dft=_reghost_dft,
+        state={"G": jnp.asarray(G.astype(cdtype))},
     )
     return LinearOperator(j)

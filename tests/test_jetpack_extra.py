@@ -263,3 +263,34 @@ def test_nim_monotone_profile_and_linearization():
     dm = sp.randn(jax.random.PRNGKey(3))
     jvp = jax.jvp(lambda m: F(m), (m0,), (dm,))[1]
     assert np.allclose(np.asarray(J(dm)), np.asarray(jvp), atol=1e-12)
+
+
+# --------------------------------------------------------------- reghost
+
+def test_reghost_adjoint_and_vertical_incidence_ground_truth():
+    from jets_tpu.ops import reghost_operator
+    nx, nt, dt, dx = 8, 256, 0.004, 12.5
+    c, depth = 1500.0, 15.0
+    sp = jt.Space((nx, nt), jnp.float64)
+    G = reghost_operator(sp, dt, dx, depth, c=c)
+    _dp_gate(G, rtol=1e-9)
+    # vertical incidence (k=0, a trace constant across x): ghost is a pure
+    # two-way-delay echo with R=-1 — d(t) = m(t) - m(t - 2*depth/c)
+    t = np.arange(nt) * dt
+    pulse = np.exp(-0.5 * ((t - 0.3) / 0.01) ** 2)
+    m = np.broadcast_to(pulse, (nx, nt)).copy()
+    d = np.asarray(G(jnp.asarray(m)))
+    lag = 2 * depth / c  # 0.02 s = 5 samples exactly
+    want = pulse - np.roll(pulse, int(round(lag / dt)))
+    assert np.allclose(d[0], want, atol=1e-8)
+    # output is exactly real-valued machinery (already real dtype) and
+    # x-invariant input stays x-invariant
+    assert np.allclose(d, d[0][None, :], atol=1e-10)
+
+
+def test_reghost_zero_reflectivity_is_identity():
+    from jets_tpu.ops import reghost_operator
+    sp = jt.Space((4, 64), jnp.float64)
+    G = reghost_operator(sp, 0.004, 10.0, 12.0, sea_surface_reflectivity=0.0)
+    x = sp.randn(KEY)
+    assert np.allclose(np.asarray(G(x)), np.asarray(x), atol=1e-12)
