@@ -7,7 +7,7 @@ common constructors are re-exported here for convenience.
 """
 from .acquisition import blend_operator, lmo_operator, reghost_operator
 from .causal import difference_operator, integration_operator, nim_operator
-from .conv import conv1d_operator, derivative_operator, gradient_operator
+from .conv import conv1d_operator, convnd_operator, derivative_operator, gradient_operator
 from .diagonal import diagonal_operator
 from .dsp import (
     bandpass_operator,
@@ -69,6 +69,7 @@ __all__ = [
     "projection_operator",
     "translation_operator",
     "conv1d_operator",
+    "convnd_operator",
     "derivative_operator",
     "gradient_operator",
     "diagonal_operator",

@@ -16,7 +16,7 @@ from jax import lax
 from ..core.jet import Jet, LinearOperator
 from ..core.spaces import Space
 
-__all__ = ["conv1d_operator", "derivative_operator", "gradient_operator"]
+__all__ = ["conv1d_operator", "convnd_operator", "derivative_operator", "gradient_operator"]
 
 
 def _conv_same(m, k):
@@ -89,4 +89,63 @@ def derivative_operator(n: int, dx: float = 1.0, dtype=jnp.float32) -> LinearOpe
     difference, derived automatically."""
     sp = Space((n,), dtype)
     j = Jet(dom=sp, rng=sp, df=_deriv_df, state={"dx": float(dx)})
+    return LinearOperator(j)
+
+
+def _dim_numbers(nd):
+    sp = "DHW"[-nd:] if nd <= 3 else None
+    if sp is None:
+        raise ValueError("convnd_operator supports up to 3 spatial dims")
+    return ("NC" + sp, "OI" + sp, "NC" + sp)
+
+
+def _convnd(m, k, pads):
+    nd = m.ndim
+    out = lax.conv_general_dilated(
+        m[None, None],
+        k[None, None],
+        window_strides=(1,) * nd,
+        padding=pads,
+        dimension_numbers=_dim_numbers(nd),
+    )
+    return out[0, 0]
+
+
+def _convnd_df(dm, m0, state):
+    return _convnd(dm, state["kflip"], state["pads"])
+
+
+def _convnd_dft(dd, m0, state):
+    # transpose of zero-padded 'same' convolution: correlate (un-flipped
+    # conjugate kernel) with the lo/hi padding swapped — exact for even and
+    # odd kernel sizes alike
+    return _convnd(dd, jnp.conj(state["k"]), state["pads_t"])
+
+
+def convnd_operator(kernel, space: Space) -> LinearOperator:
+    """General n-D (n ≤ 3) 'same'-shape convolution with an arbitrary
+    kernel, zero boundary (the JetPack convolution family generalized from
+    :func:`conv1d_operator`). The forward is one XLA convolution; the
+    handwritten adjoint is the correlation with swapped asymmetric padding,
+    exact for even-sized kernels too."""
+    k = jnp.asarray(kernel, dtype=space.dtype)
+    if k.ndim != space.ndim:
+        raise ValueError(
+            f"kernel ndim {k.ndim} != space ndim {space.ndim}"
+        )
+    pads, pads_t = [], []
+    for L in k.shape:
+        lo = (L - 1) // 2
+        hi = L - 1 - lo
+        pads.append((lo, hi))
+        pads_t.append((hi, lo))
+    kflip = k[tuple(slice(None, None, -1) for _ in range(k.ndim))]
+    j = Jet(
+        dom=space,
+        rng=space,
+        df=_convnd_df,
+        dft=_convnd_dft,
+        state={"k": k, "kflip": kflip, "pads": tuple(pads),
+               "pads_t": tuple(pads_t)},
+    )
     return LinearOperator(j)

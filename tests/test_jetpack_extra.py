@@ -294,3 +294,32 @@ def test_reghost_zero_reflectivity_is_identity():
     G = reghost_operator(sp, 0.004, 10.0, 12.0, sea_surface_reflectivity=0.0)
     x = sp.randn(KEY)
     assert np.allclose(np.asarray(G(x)), np.asarray(x), atol=1e-12)
+
+
+# ---------------------------------------------------------------- convnd
+
+@pytest.mark.parametrize("kshape", [(3, 3), (2, 4), (5, 1)])
+def test_convnd_matches_scipy_and_adjoint(kshape):
+    from jets_tpu.ops import convnd_operator
+    from scipy.signal import convolve2d
+    rng = np.random.default_rng(6)
+    sp = jt.Space((9, 10), jnp.float64)
+    k = rng.standard_normal(kshape)
+    A = convnd_operator(jnp.asarray(k), sp)
+    _dp_gate(A)
+    x = np.asarray(sp.randn(KEY))
+    got = np.asarray(A(jnp.asarray(x)))
+    full = convolve2d(x, k, mode="full")
+    lo = [(L - 1) // 2 for L in kshape]
+    want = full[lo[0]:lo[0] + 9, lo[1]:lo[1] + 10]
+    assert np.allclose(got, want, atol=1e-12)
+    M = np.asarray(materialize(A))
+    assert np.allclose(M.T, np.asarray(materialize(A.H)), atol=1e-13)
+
+
+def test_convnd_3d_gate():
+    from jets_tpu.ops import convnd_operator
+    sp = jt.Space((6, 5, 7), jnp.float64)
+    k = np.random.default_rng(7).standard_normal((3, 2, 3))
+    A = convnd_operator(jnp.asarray(k), sp)
+    _dp_gate(A)
