@@ -287,7 +287,9 @@ def reshape(x, space: Space) -> jax.Array:
 
 
 def randperm(key: jax.Array, space: Space, k: int | None = None):
-    """Random permutation of linear indices of ``space``; first ``k`` if given
-    (reference ``randperm(R, k)``, ``src/Jets.jl:124``)."""
+    """Random permutation of linear indices of ``space``; a SORTED k-sample
+    if ``k`` is given — the reference returns ``sort`` of the first ``k``
+    draws (``src/Jets.jl:124``), and downstream masking/restriction ops rely
+    on monotone index lists."""
     p = jax.random.permutation(key, space.size)
-    return p if k is None else p[:k]
+    return p if k is None else jnp.sort(p[:k])

@@ -22,7 +22,12 @@ __all__ = ["conv1d_operator", "convnd_operator", "derivative_operator", "gradien
 def _conv_same(m, k):
     """Same-length 1-D convolution via conv_general_dilated."""
     L = k.shape[0]
-    pad_lo = (L - 1) // 2
+    # 'same' crop of the full convolution is full[(L-1)//2 : (L-1)//2 + n]
+    # (scipy/numpy convention); achieving that crop with a *correlation*
+    # against the flipped kernel requires low-padding by the complement
+    # L-1-(L-1)//2 = L//2 — for even L the pair is asymmetric and the
+    # naive (lo, hi) order is off by one.
+    pad_lo = L // 2
     pad_hi = L - 1 - pad_lo
     out = lax.conv_general_dilated(
         m[None, None, :],
@@ -137,8 +142,11 @@ def convnd_operator(kernel, space: Space) -> LinearOperator:
     for L in k.shape:
         lo = (L - 1) // 2
         hi = L - 1 - lo
-        pads.append((lo, hi))
-        pads_t.append((hi, lo))
+        # cropping the full convolution at offset lo requires *low*-padding
+        # the correlation-with-flipped-kernel by hi (and vice versa for the
+        # transpose) — for even L the asymmetric pair must be swapped
+        pads.append((hi, lo))
+        pads_t.append((lo, hi))
     kflip = k[tuple(slice(None, None, -1) for _ in range(k.ndim))]
     j = Jet(
         dom=space,

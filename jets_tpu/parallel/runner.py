@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["init_distributed", "local_block_range", "assemble_global"]
+__all__ = [
+    "init_distributed",
+    "local_block_range",
+    "assemble_global",
+    "distribute_blocks",
+    "replicate_global",
+]
 
 
 def init_distributed(
@@ -99,6 +105,28 @@ def local_block_range(
             "use a mesh built from jax.devices() default order"
         )
     return lo * per_dev, hi * per_dev
+
+
+def distribute_blocks(x, mesh: Mesh, axis: str = "block") -> jax.Array:
+    """Place a FULL stacked block array (available on every process) with
+    its leading axis sharded over the mesh — the multi-process-safe
+    counterpart of :func:`~jets_tpu.parallel.sharded.shard_blocks`.
+
+    Uses ``jax.make_array_from_callback`` so each process materializes only
+    the shards its own devices hold; on a single process this degenerates to
+    an ordinary committed ``device_put``. Use :func:`assemble_global` instead
+    when each host only HAS its local slab (host-local IO)."""
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def replicate_global(x, mesh: Mesh) -> jax.Array:
+    """Replicate an array (identical on every process) across the whole
+    mesh — multi-process-safe (each process supplies its local copies)."""
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, P())
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def assemble_global(

@@ -218,6 +218,27 @@ def stacked_block_operator(
                 f"nblocks {nblocks} not divisible by mesh axis {axis!r} "
                 f"size {ax_size}"
             )
+        # Commit the parameter arrays to their mesh placement NOW — with
+        # make_array_from_callback so the SAME factory works in a
+        # multi-process (multi-host) session, where each process holds only
+        # its own shards (the DistributedJets story: per-worker block rows,
+        # docs/src/index.md:15). Arrays that are already global (e.g. built
+        # by runner.assemble_global from host-local slabs) pass through.
+        from .runner import distribute_blocks, replicate_global
+
+        def _place(v, place_fn):
+            if isinstance(v, jax.Array) and not v.is_fully_addressable:
+                return v  # already a global (multi-process) array
+            return place_fn(v)
+
+        bstate = {
+            k: _place(v, lambda a: distribute_blocks(a, mesh, axis))
+            for k, v in bstate.items()
+        }
+        sstate = {
+            k: _place(v, lambda a: replicate_global(a, mesh))
+            for k, v in sstate.items()
+        }
     rng = Space((nblocks,) + rng_block.shape, rng_block.dtype)
     state = {
         "child_f": f if f is not None else (lambda m, bs, __df=df: __df(m, None, bs)),

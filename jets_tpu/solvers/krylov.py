@@ -570,7 +570,14 @@ def bicgstab(
     operator: adjoint-free — two forward applies per iteration, no ``A^H``
     needed (unlike CGLS/LSQR which solve the least-squares problem).
     Breakdown-safe: every division is guarded so the recurrence parks at
-    the current iterate instead of producing NaNs."""
+    the current iterate instead of producing NaNs, and the fatal Lanczos
+    breakdown (``rho = <rhat, r> = 0`` with a nonzero residual) exits the
+    loop immediately instead of burning the remaining iterations — detect
+    it via ``result.iterations < maxiter`` with ``result.residual`` above
+    tolerance. The milder ``<rhat, v> = 0`` breakdown parks ``alpha`` at
+    zero for one step (the omega half-step may still progress); a flat
+    tail in ``result.history`` is the signal to restart with a fresh
+    shadow residual."""
     dom = A.dom
 
     def _sdiv(num, den):
@@ -591,7 +598,11 @@ def bicgstab(
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (st.rnorm > tol * bnorm)
+        # abs(rho) == 0 after the first iteration is the fatal breakdown:
+        # every subsequent step would be a no-op (alpha = omega = 0), so
+        # stop instead of spending 2 operator applies/iter on nothing
+        return ((st.i < maxiter) & (st.rnorm > tol * bnorm)
+                & (jnp.abs(st.rho) > 0))
 
     def body(carry):
         st, hist = carry
@@ -811,7 +822,23 @@ def chebyshev(
     sharded block operator no per-iteration cross-host reduction exists at
     all (SURVEY §7's "fuse the reductions" taken to its limit). The residual
     norm (one collective) is evaluated only every ``check_every`` iterations
-    for the stopping test and history."""
+    for the stopping test and history.
+
+    Caveats:
+
+    - The stopping test runs at ``check_every`` granularity, so the loop can
+      overshoot ``maxiter`` by up to ``check_every - 1`` inner iterations
+      (and ``result.iterations`` reports the true count, which may exceed
+      ``maxiter``); pass ``maxiter`` as a multiple of ``check_every`` for an
+      exact budget. The chunk size cannot be clamped inside ``jit`` because
+      ``fori_loop`` trip counts must be static.
+    - ``lmin`` must be a true LOWER bound on the spectrum: Chebyshev
+      *diverges* on eigenmodes below ``lmin`` (the iteration polynomial
+      grows outside ``[lmin, lmax]``). An overestimated ``lmax`` merely
+      slows convergence; prefer a known analytic floor when one exists —
+      e.g. ``damp**2`` for the damped normal operator
+      ``A^H A + damp^2 I`` — over a numerically estimated ``lmin``
+      (see :func:`estimate_spectral_bounds`)."""
     dom = A.dom
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
@@ -874,7 +901,17 @@ def estimate_spectral_bounds(
     """(lmin, lmax) estimates for an SPD operator: power iteration for
     ``lmax`` (inflated by ``safety``), then power iteration on
     ``lmax I - A`` for ``lmin`` (deflated). Cheap setup for
-    :func:`chebyshev`."""
+    :func:`chebyshev`.
+
+    The ``lmin`` deflation is deliberately aggressive: an unconverged power
+    iteration on ``lmax I - A`` UNDERestimates ``lmax - lambda_min``, so the
+    naive ``lmax - shift`` lands ABOVE the true smallest eigenvalue — fatal
+    for Chebyshev (divergence), whereas an underestimated ``lmin`` only
+    slows it. The shift is therefore inflated by ``safety`` before
+    subtracting (a margin proportional to the spectral width, which stays
+    meaningful when ``lambda_min << lmax``) and the result deflated by
+    ``safety`` again. When an analytic floor exists (e.g. ``damp**2`` for a
+    damped normal operator) prefer it over this estimate."""
     dom = A.dom
     if key is None:
         key = jax.random.PRNGKey(23)
@@ -894,5 +931,5 @@ def estimate_spectral_bounds(
     lmax = power(A, v1) * safety
     v2, _ = _normalize(dom, dom.randn(k2))
     lmin_shift = power(lambda v: tr.xpay(tr.scale(lmax, v), -1.0, A(v)), v2)
-    lmin = jnp.maximum(lmax - lmin_shift, 0.0) / safety
+    lmin = jnp.maximum(lmax - safety * lmin_shift, 0.0) / safety
     return lmin, lmax

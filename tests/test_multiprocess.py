@@ -1,0 +1,115 @@
+"""The REAL multi-process (multi-host) distribution path.
+
+Everything else in the suite runs sharding on 8 virtual devices of ONE
+process; these tests spawn 2 actual OS processes (via
+``jax.distributed.initialize`` against a local coordinator), each owning 4
+virtual CPU devices of an 8-device global mesh, and drive the full
+DistributedJets-equivalent workflow end-to-end
+(``/root/reference/docs/src/index.md:15``; adjoint reduction structure
+``src/Jets.jl:1034-1057``):
+
+    init_distributed -> local_block_range (genuinely partial) ->
+    host-local data creation -> assemble_global -> distributed LSQR
+
+and check the multi-process solve matches the single-process solve on the
+same 8-device mesh. The two runs share shardings and math but NOT psum
+topology (2-process collectives reduce in a different order), so agreement
+is up to Krylov rounding sensitivity: the residual norms match to ~1e-9
+while the iterates themselves drift by ~1e-4 after 40 ill-conditioned
+iterations — both tolerances asserted below at measured-times-margin.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
+
+NSHOTS, NRECV, GRID = 16, 64, (12, 12)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_pod(nprocs, nlocal, outfile, timeout=600):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(nprocs), str(pid),
+             str(nlocal), outfile],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"worker {p.args} failed (rc={p.returncode}):\n{out}"
+        )
+
+
+def _single_process_reference():
+    """The same solve on this process's 8 virtual devices (same global mesh
+    shape => identical shardings and reduction structure)."""
+    from jets_tpu.models.seismic import make_seismic_operator
+    from jets_tpu.parallel import runner
+    from jets_tpu.parallel.sharded import make_block_mesh
+    from jets_tpu.solvers import lsqr
+
+    mesh = make_block_mesh(8)
+    A = make_seismic_operator(
+        GRID, NSHOTS, NRECV, jax.random.PRNGKey(3), mesh=mesh,
+        dtype=jnp.float64,
+    )
+    d_local = np.stack(
+        [
+            np.random.default_rng(1000 + s).standard_normal(NRECV)
+            for s in range(NSHOTS)
+        ]
+    )
+    d = runner.assemble_global(d_local, (NSHOTS, NRECV), mesh)
+    res = lsqr(A, d, maxiter=40, tol=0.0)
+    return np.asarray(res.x.addressable_data(0)), float(res.resnorm)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU session"
+)
+def test_two_process_lsqr_matches_single_process(tmp_path):
+    out = str(tmp_path / "mp_result.npz")
+    _spawn_pod(nprocs=2, nlocal=4, outfile=out)
+    got = np.load(out)
+    # worker-side structural assertions already ran (partial range,
+    # non-addressable global arrays); worker 0 owned blocks [0, 8)
+    assert int(got["lo"]) == 0 and int(got["hi"]) == NSHOTS // 2
+
+    want_x, want_rn = _single_process_reference()
+    # equally converged (residual norm is the stable quantity) ...
+    np.testing.assert_allclose(float(got["resnorm"]), want_rn, rtol=1e-7)
+    # ... while the iterates agree up to cross-topology reduction rounding
+    scale = float(np.abs(want_x).max())
+    np.testing.assert_allclose(got["x"], want_x, atol=5e-3 * scale)

@@ -73,6 +73,22 @@ def test_rfft_parseval_symmetric_space():
                                rtol=1e-12)
 
 
+@pytest.mark.parametrize("L", [2, 3, 4, 5, 6, 9])
+def test_conv1d_matches_numpy_same(L):
+    """'same' forward semantics vs numpy for even AND odd kernel lengths
+    (the even case is where asymmetric-pad bookkeeping can silently flip:
+    the adjoint stays consistent but the forward crop lands off by one)."""
+    rng = np.random.default_rng(L)
+    n = 21
+    k = rng.standard_normal(L)
+    A = conv1d_operator(jnp.asarray(k), n, jnp.float64)
+    x = rng.standard_normal(n)
+    got = np.asarray(A(jnp.asarray(x)))
+    want = np.convolve(x, k, mode="same")
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    _gate(A, seed=L)
+
+
 def test_derivative_matches_dense():
     n = 12
     D = derivative_operator(n, 1.0, jnp.float64)

@@ -184,7 +184,10 @@ def test_distributed_chebyshev_reduction_free_solve():
     b1 = A1.adjoint_apply(shard_blocks(d_obs, mesh))
     from jets_tpu.solvers import estimate_spectral_bounds
     lmin, lmax = estimate_spectral_bounds(N0)
-    lmin = max(float(lmin), 0.25 * 0.25)  # damp² lower bound is exact
+    # damp=0.5 ⇒ the damped normal operator's spectrum has the exact
+    # analytic floor damp² = 0.25; prefer it over the (deliberately
+    # deflated) power-iteration estimate, per the chebyshev docstring
+    lmin = max(float(lmin), 0.5**2)
     r0 = chebyshev(N0, b0, lmin, float(lmax), maxiter=200, tol=1e-10,
                    check_every=10)
     r1 = chebyshev(N1, b1, lmin, float(lmax), maxiter=200, tol=1e-10,

@@ -48,6 +48,11 @@ def test_randperm():
     assert sorted(np.asarray(p).tolist()) == list(range(10))
     k = jt.randperm(jax.random.PRNGKey(0), sp, 4)
     assert k.shape == (4,)
+    # the k-sample is sorted (reference src/Jets.jl:124) and is a subset of
+    # the full permutation's support
+    kl = np.asarray(k).tolist()
+    assert kl == sorted(kl)
+    assert len(set(kl)) == 4 and set(kl) <= set(range(10))
 
 
 def test_norms_all_orders():
