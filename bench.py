@@ -95,6 +95,25 @@ def main():
     assert int(res_hi.iterations) == HI and int(res_lo.iterations) == LO
     iters_per_s = (HI - LO) / max(t_hi - t_lo, 1e-9)
 
+    # ---- 3-D flagship (config #5 shape): LSQR iterations/s
+    _stage("building 3-D problem")
+    A3, _, d3 = make_seismic_problem(
+        (256, 256, 256), 16, 4096, seed=0, noise=0.05, dtype=jnp.float32
+    )
+    bs3 = [d3 * (1.0 + 1e-5 * i) for i in range(4)]
+    jax.block_until_ready(bs3)
+    _stage("timing 3-D lsqr")
+    t3_lo, _ = _timed(
+        lambda b: lsqr(A3, b, maxiter=50, tol=0.0), read_res,
+        [(b,) for b in bs3]
+    )
+    t3_hi, _ = _timed(
+        lambda b: lsqr(A3, b, maxiter=450, tol=0.0), read_res,
+        [(b,) for b in bs3]
+    )
+    iters3d_per_s = 400 / max(t3_hi - t3_lo, 1e-9)
+    _stage(f"3-D lsqr done ({1e3/iters3d_per_s:.2f} ms/iter); matvec loop")
+
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
         lambda m, k: jnp.sum(
@@ -121,6 +140,9 @@ def main():
                 "vs_baseline": round(iters_per_s / NOMINAL_BASELINE, 3),
                 "matvecs_per_s": round(matvecs_per_s, 3),
                 "matvec_pair_ms": round(pair_ms, 4),
+                "lsqr3d_iterations_per_s": round(iters3d_per_s, 3),
+                "lsqr3d_iter_ms": round(1e3 / iters3d_per_s, 4),
+                "config3d": "grid=(256,256,256), nshots=16, nrecv=4096, f32",
                 "relative_residual": round(resid_rel, 6),
                 "config": f"grid={GRID}, nshots={NSHOTS}, nrecv={NRECV}, f32",
                 "device": str(jax.devices()[0]),

@@ -55,6 +55,25 @@ def main():
     timeit("space/zeros", lambda: sp.zeros())
     timeit("space/reshape", lambda: sp.reshape(jnp.zeros(n)))
 
+    # --- group: Jet (reference :24-32: construct, dom/rng, point, state,
+    # state!, shape, size) ---
+    _dw = lambda dx, x0, s: s["w"] * dx  # noqa: E731
+    wj = jnp.ones(n)
+    jet0 = jt.Jet(dom=sp, rng=sp, df=_dw, state={"w": wj})
+    Fj = jt.LinearOperator(jet0)
+    m0 = sp.rand(key)
+    Fp = Fj.linearize(m0)
+    timeit("jet/construct",
+           lambda: jt.Jet(dom=sp, rng=sp, df=_dw, state={"w": wj}))
+    timeit("jet/domain", lambda: jet0.dom)
+    timeit("jet/range", lambda: jet0.rng)
+    timeit("jet/point (pin)", lambda: Fj.linearize(m0))
+    timeit("jet/point (read)", lambda: jt.point(Fp))
+    timeit("jet/state", lambda: jt.state(Fj, "w"))
+    timeit("jet/with_state", lambda: jt.with_state(Fj, w=wj))
+    timeit("jet/shape", lambda: (jet0.rng.shape, jet0.dom.shape))
+    timeit("jet/size", lambda: (jet0.rng.size, jet0.dom.size))
+
     # --- group: JopLn (diagonal, reference :42-52) ---
     w = jnp.arange(1.0, n + 1.0)
     D = diagonal_operator(w)
@@ -96,10 +115,49 @@ def main():
     timeit("block/getblock", lambda: jt.getblock(B, 1, 2))
     timeit("block/dot", jax.jit(lambda x, y: x.space.dot(x, y)), mb, mb)
     timeit("block/norm", jax.jit(lambda x: x.space.norm(x)), mb)
+    timeit("block/fill", lambda: mb.fill(0.5))
+    timeit("block/extrema", lambda: jax.block_until_ready(mb.extrema()))
+    timeit("block/setblock", lambda: mb.setblock(1, jnp.ones(n)))
     # base case: flat array ops of the same total size
     flat = jnp.zeros(B.dom.size)
     timeit("block/dot (base-case)", jax.jit(jnp.vdot), flat, flat)
     timeit("block/norm (base-case)", jax.jit(jnp.linalg.norm), flat)
+    timeit("block/fill (base-case)", jax.jit(lambda x: jnp.full_like(x, 0.5)),
+           flat)
+    timeit("block/extrema (base-case)",
+           jax.jit(lambda x: (jnp.min(x), jnp.max(x))), flat)
+
+    # --- group: Block heterogeneous (mixed JopBar/JopFoo-style blocks,
+    # reference :139-157, with base-case pairs :153-156) ---
+    Fh = jt.Operator(jt.Jet(dom=sp, rng=sp,
+                            f=lambda x, s: x * x,
+                            df=lambda dx, x0, s: 2 * x0 * dx, dft="self"))
+    hops = [[Fh, diagonal_operator(w), Fh],
+            [diagonal_operator(w), Fh, diagonal_operator(w)]]
+    Bh = jt.block_operator(hops)
+    mh = Bh.dom.rand(key)
+    timeit("hblock/construct", lambda: jt.block_operator(hops))
+    timeit("hblock/apply", apply_jit, Bh, mh)
+    Jh = Bh.linearize(mh)
+    timeit("hblock/jacobian", lambda: Bh.linearize(mh))
+    timeit("hblock/jacobian_apply", apply_jit, Jh, mh)
+    timeit("hblock/adjoint", adj_jit, Jh, Jh.rng.rand(key))
+    timeit("hblock/getblock", lambda: jt.getblock(Bh, 1, 2))
+    dh = Bh.rng.rand(key)
+    timeit("hblock/dot", jax.jit(lambda x, y: x.space.dot(x, y)), dh, dh)
+    timeit("hblock/norm", jax.jit(lambda x: x.space.norm(x)), dh)
+    # base case: the same mixed math hand-written on flat slices
+    wfull = jnp.concatenate([w, w, w])
+
+    def _hbase(x):
+        a, b2, c = x[:n], x[n:2 * n], x[2 * n:]
+        r0 = a * a + w * b2 + c * c
+        r1 = w * a + b2 * b2 + w * c
+        return jnp.concatenate([r0, r1])
+
+    timeit("hblock/apply (base-case)", jax.jit(_hbase), jnp.ravel(wfull))
+    flat2 = jnp.zeros(Bh.rng.size)
+    timeit("hblock/dot (base-case)", jax.jit(jnp.vdot), flat2, flat2)
 
     # --- group: vec (reference :173-185) ---
     sp2 = jt.Space((10, n // 10), jnp.float32)

@@ -21,6 +21,8 @@ ChevronETC/Jets.jl (reference mounted read-only at ``/root/reference``):
 from .core.spaces import (
     Space,
     SymmetricSpace,
+    MappedSymmetricSpace,
+    symspace,
     space_of,
     zeros,
     ones,

@@ -295,7 +295,7 @@ def vec(A) -> Operator:
     and silently dropping the weights would break every adjoint downstream.
     """
     from .blockspace import BlockSpace
-    from .spaces import SymmetricSpace
+    from .spaces import MappedSymmetricSpace, SymmetricSpace
 
     A = _wrap(A)
     if A.dom.ndim == 1 and A.rng.ndim == 1 and not (
@@ -303,7 +303,7 @@ def vec(A) -> Operator:
     ):
         return A
     for sp in (A.dom, A.rng):
-        if isinstance(sp, SymmetricSpace) and sp.ndim > 1:
+        if isinstance(sp, (SymmetricSpace, MappedSymmetricSpace)) and sp.ndim > 1:
             raise NotImplementedError(
                 "vec() of an operator over an n-D SymmetricSpace would drop "
                 "its multiplicity weights; reshape at the call site instead"

@@ -213,6 +213,7 @@ def _tangent_from_linear_f(f):
     def df(dm, m0, state, __f=f):
         return __f(dm, state)
 
+    df.__wrapped_f__ = f  # derivation marker (see parallel/hetero grouping)
     return df
 
 
@@ -220,6 +221,7 @@ def _self_adjoint_from_df(df):
     def dft(dd, m0, state, __df=df):
         return __df(dd, m0, state)
 
+    dft.__self_adjoint_from__ = df
     return dft
 
 

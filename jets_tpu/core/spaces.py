@@ -28,6 +28,8 @@ import numpy as np
 __all__ = [
     "Space",
     "SymmetricSpace",
+    "MappedSymmetricSpace",
+    "symspace",
     "space_of",
     "zeros",
     "ones",
@@ -256,6 +258,192 @@ class SymmetricSpace(Space):
             f"SymmetricSpace(stored={self._shape}, logical={self._logical_shape}, "
             f"{self._dtype.name})"
         )
+
+    # -- logical view (reference ``SymmetricArray`` reads past the stored
+    # region return conjugates, src/Jets.jl:443-516; here the expansion is a
+    # pure function instead of a lazy container) ---------------------------
+    def to_logical(self, x) -> jax.Array:
+        """Expand a stored member to the FULL logical spectrum: the missing
+        bins ``k > n//2`` on the symmetric axis are ``conj`` of the stored
+        bins with every axis modularly reflected (``i -> (n - i) % n``) —
+        exactly the n-D DFT Hermitian symmetry, so
+        ``to_logical(rfftn(x)) == fftn(x)`` for real ``x``. Cheap slicing
+        and flips, no gather tables."""
+        ax = self._axis
+        n_log = self._logical_shape[ax]
+        h = n_log // 2
+        # mirrored source bins on the symmetric axis: 1..h-1 (even n) or
+        # 1..h (odd n), read in reverse
+        jhi = h if n_log % 2 == 0 else h + 1
+        sl = [slice(None)] * self.ndim
+        sl[ax] = slice(1, jhi)
+        tail = jnp.conj(x[tuple(sl)])
+        tail = jnp.flip(tail, axis=ax)
+        # modular reflection i -> (n - i) % n on every OTHER axis
+        for oax in range(self.ndim):
+            if oax != ax:
+                tail = jnp.roll(jnp.flip(tail, axis=oax), 1, axis=oax)
+        return jnp.concatenate([x, tail], axis=ax)
+
+    def from_logical(self, y) -> jax.Array:
+        """Crop a full logical spectrum back to the stored half (left
+        inverse of :meth:`to_logical`)."""
+        sl = [slice(None)] * self.ndim
+        sl[self._axis] = slice(0, self._shape[self._axis])
+        return y[tuple(sl)].astype(self._dtype)
+
+
+class MappedSymmetricSpace(Space):
+    """Space with an ARBITRARY Hermitian-redundancy index map — the
+    reference's author hook generalized (``JetSSpace`` takes any map ``F``
+    and operator authors register theirs via ``symspace()``,
+    ``src/Jets.jl:408-441``).
+
+    Members are plain arrays of the *stored* shape (an axes-aligned prefix
+    box of the logical shape, as in the reference's ``SymmetricArray``
+    whose reads past the stored region return ``conj(A[F(I)])``,
+    ``src/Jets.jl:443-516``). ``index_map`` is a vectorized callable:
+    given a tuple of numpy index arrays for logical positions OUTSIDE the
+    stored box, it returns the tuple of stored indices whose conjugates
+    live there.
+
+    Inner products and norms weight each stored element by its multiplicity
+    in the logical array, so ``dot(x, y)`` equals the full logical-spectrum
+    ``vdot(to_logical(x), to_logical(y))`` exactly — operator adjoints
+    built against this space pass the dot-product gate as full-spectrum
+    operators would (the reference's doubled-norm semantics,
+    ``test/runtests.jl:243-248``, for arbitrary maps).
+
+    The symmetry tables are computed once with numpy at construction and
+    enter traced programs as constants — intended for author-defined
+    transform ranges, not multi-GB grids (use :class:`SymmetricSpace` for
+    the rfft case, which needs no tables).
+    """
+
+    __slots__ = ("_logical_shape", "_map_fn", "_src", "_nmirror")
+
+    def __init__(
+        self,
+        stored_shape: Sequence[int] | int,
+        logical_shape: Sequence[int] | int,
+        dtype: Any = jnp.complex64,
+        index_map=None,
+    ):
+        super().__init__(stored_shape, dtype)
+        object.__setattr__(self, "_logical_shape", _canon_shape(logical_shape))
+        if len(self._logical_shape) != len(self._shape):
+            raise ValueError("stored/logical ndim mismatch")
+        if any(s > m for s, m in zip(self._shape, self._logical_shape)):
+            raise ValueError("stored box must fit inside the logical shape")
+        if index_map is None:
+            raise ValueError("index_map is required (the symspace hook)")
+        object.__setattr__(self, "_map_fn", index_map)
+
+        grids = np.meshgrid(
+            *[np.arange(M) for M in self._logical_shape], indexing="ij"
+        )
+        in_stored = np.ones(self._logical_shape, bool)
+        for g, s in zip(grids, self._shape):
+            in_stored &= g < s
+        out_idx = tuple(g[~in_stored] for g in grids)
+        src = np.empty(self._logical_shape, np.int64)
+        own = tuple(g[in_stored] for g in grids)
+        src[in_stored] = np.ravel_multi_index(own, self._shape)
+        if out_idx[0].size:
+            mapped = index_map(out_idx)
+            mapped = tuple(np.asarray(m) for m in mapped)
+            for m, s in zip(mapped, self._shape):
+                if np.any((m < 0) | (m >= s)):
+                    raise ValueError(
+                        "index_map must land inside the stored box"
+                    )
+            src[~in_stored] = np.ravel_multi_index(mapped, self._shape)
+        # per-stored-element count of mirrored logical positions
+        nmirror = np.bincount(
+            src[~in_stored].ravel(), minlength=self.size
+        ).reshape(self._shape)
+        object.__setattr__(self, "_src", src)
+        object.__setattr__(self, "_nmirror", nmirror)
+
+    @property
+    def logical_shape(self) -> Tuple[int, ...]:
+        return self._logical_shape
+
+    # -- weighted inner product: <x,y>_logical = sum_stored z + sum_mirror
+    # conj(z_src) with z = conj(x) y, so each stored element contributes
+    # (1 + c) Re(z) + i (1 - c) Im(z) for c mirrored copies ----------------
+    def dot(self, x, y):
+        c = jnp.asarray(self._nmirror, jnp.real(jnp.zeros((), self._dtype)).dtype)
+        z = jnp.conj(x) * y
+        re = jnp.sum((1.0 + c) * jnp.real(z))
+        im = jnp.sum((1.0 - c) * jnp.imag(z))
+        return (re + 1j * im).astype(self._dtype)
+
+    def norm(self, x, p: float = 2):
+        w = 1.0 + jnp.asarray(
+            self._nmirror, jnp.real(jnp.zeros((), self._dtype)).dtype
+        )
+        a = jnp.abs(x)
+        if p == 2:
+            return jnp.sqrt(jnp.sum(w * a**2))
+        if p == float("inf"):
+            return jnp.max(a)
+        if p == float("-inf"):
+            return jnp.min(a)
+        if p == 0:
+            return jnp.sum(w * (a != 0))
+        return jnp.sum(w * a**p) ** (1.0 / p)
+
+    # -- logical view -------------------------------------------------------
+    def to_logical(self, x) -> jax.Array:
+        """Materialize the full logical array: gather each logical position
+        from its stored source, conjugating the mirrored ones."""
+        flat = jnp.take(jnp.ravel(x), jnp.asarray(self._src.ravel()))
+        in_stored = np.ones(self._logical_shape, bool)
+        grids = np.meshgrid(
+            *[np.arange(M) for M in self._logical_shape], indexing="ij"
+        )
+        for g, s in zip(grids, self._shape):
+            in_stored &= g < s
+        mask = jnp.asarray(in_stored.ravel())
+        flat = jnp.where(mask, flat, jnp.conj(flat))
+        return jnp.reshape(flat, self._logical_shape)
+
+    def from_logical(self, y) -> jax.Array:
+        """Crop a logical array back to the stored box."""
+        sl = tuple(slice(0, s) for s in self._shape)
+        return y[sl].astype(self._dtype)
+
+    def __eq__(self, other) -> bool:
+        return (
+            super().__eq__(other)
+            and self._logical_shape == other._logical_shape
+            and self._map_fn is other._map_fn
+        )
+
+    def __hash__(self) -> int:
+        return hash(
+            (super().__hash__(), self._logical_shape, id(self._map_fn))
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"MappedSymmetricSpace(stored={self._shape}, "
+            f"logical={self._logical_shape}, {self._dtype.name})"
+        )
+
+
+def symspace(
+    stored_shape: Sequence[int] | int,
+    logical_shape: Sequence[int] | int,
+    dtype: Any = jnp.complex64,
+    index_map=None,
+) -> MappedSymmetricSpace:
+    """Author hook for registering a custom Hermitian-redundant space — the
+    reference's ``symspace()`` (``src/Jets.jl:441``): operator authors whose
+    ranges store only the non-redundant half of a symmetric transform build
+    their range space here by supplying the index map."""
+    return MappedSymmetricSpace(stored_shape, logical_shape, dtype, index_map)
 
 
 # -- free-function API (parity with reference module-level verbs) -----------

@@ -204,6 +204,44 @@ def _make_axis_sample_stack_dft(grid_shape, counts, axes_idx, with_lap):
     return stack_dft
 
 
+def _make_adjoint_axpy_norm_hook(grid_shape, counts, axes_idx, dom):
+    """Solver epilogue hook (see ``solvers/krylov._adjoint_axpy_norm``):
+    ``v_hat = A^H dd + s·v`` with ``‖v_hat‖`` in the same pass.
+
+    On TPU/f32 the dense tail (deposit → Laplacian sweep → solver axpy →
+    norm) runs as the single slab-pipelined Pallas pass of
+    ``ops/pallas_solver.lap3d_axpy_norm2`` (3 HBM touches, stencil add
+    order bit-exact vs ``laplacian_nd``); elsewhere the same math runs as
+    plain XLA ops, identical to the solver's generic path.
+
+    OPT-IN (``make_seismic_operator(..., epilogue_hook=True)``), not the
+    default: standalone the kernel beats the XLA chain 3.1× (301 vs
+    936 µs on 256³), but INSIDE the real LSQR while-loop body XLA already
+    fuses this segment well and the kernel's materialization boundaries
+    cost more than they save — measured 0.911 (hooked) vs 0.783 ms/iter
+    (unhooked, with the Pallas x/w update) on 256³/v5e. Kept for regimes
+    where the body is compiled less favorably."""
+
+    def hook(dd, v, s, state):
+        bstate = state["bstate"]
+        g = jnp.reshape(jnp.sum(dd * bstate["wr"], axis=0), counts)
+        z = _axis_deposit(g, grid_shape, axes_idx)
+        if (
+            jax.default_backend() == "tpu"
+            and z.dtype == jnp.float32
+            and len(grid_shape) == 3
+            and grid_shape[-1] % 128 == 0
+        ):
+            from ..ops.pallas_solver import lap3d_axpy_norm2
+
+            vh, n2 = lap3d_axpy_norm2(z, v, s)
+            return vh, jnp.sqrt(n2)
+        vh = _lap(z) + s * v
+        return vh, dom.norm(vh)
+
+    return hook
+
+
 def _make_sampled_stencil_df(grid_shape, counts, axes_idx):
     """Sweep-free flagship FORWARD kernel: ``(L m)[subgrid]`` without any
     dense O(grid) sweep. Per axis, gather the 3-block index set
@@ -277,8 +315,14 @@ def make_seismic_operator(
     axis: str = "block",
     dtype=jnp.float32,
     impl: str = "fused",
+    epilogue_hook: bool = False,
 ) -> Operator:
     """Build the multi-shot linearized modeling operator ``A = S ∘ L``.
+
+    ``epilogue_hook=True`` (3-D fused, single-chip only) additionally
+    installs the solver adjoint-epilogue hook
+    (:func:`_make_adjoint_axpy_norm_hook`) — opt-in; measured slower than
+    the default inside the LSQR body on v5e.
 
     Model space: ``grid_shape`` (2-D or 3-D). Range: ``(nshots, nreceivers)``.
     Per-shot state (stacked, sharded over the mesh block axis when given):
@@ -356,7 +400,7 @@ def make_seismic_operator(
             fdf = _make_sampled_stencil_df(
                 grid_shape, counts, axes_idx
             )
-            return stacked_block_operator(
+            op = stacked_block_operator(
                 nblocks=nshots,
                 dom=dom,
                 rng_block=Space((nreceivers,), dtype),
@@ -368,6 +412,20 @@ def make_seismic_operator(
                 mesh=mesh,
                 axis=axis,
             )
+            if epilogue_hook and mesh is None and len(grid_shape) == 3:
+                # advertise the fused adjoint-tail epilogue to the solvers
+                # (single-chip 3-D path; the sharded adjoint keeps its psum
+                # structure). Static state key -> no pytree change. Opt-in:
+                # see _make_adjoint_axpy_norm_hook for the measurements.
+                from ..core.jet import with_state
+
+                op = with_state(
+                    op,
+                    adjoint_axpy_norm=_make_adjoint_axpy_norm_hook(
+                        grid_shape, counts, axes_idx, dom
+                    ),
+                )
+            return op
         S = stacked_block_operator(
             nblocks=nshots,
             dom=dom,
@@ -421,6 +479,7 @@ def make_seismic_problem(
     noise: float = 0.0,
     dtype=jnp.float32,
     impl: str = "fused",
+    epilogue_hook: bool = False,
 ) -> Tuple[Operator, jax.Array, jax.Array]:
     """Operator + ground-truth reflectivity model + observed data.
 
@@ -432,7 +491,7 @@ def make_seismic_problem(
     k_op, k_m, k_n = jax.random.split(key, 3)
     A = make_seismic_operator(
         grid_shape, nshots, nreceivers, k_op, mesh=mesh, dtype=dtype,
-        impl=impl,
+        impl=impl, epilogue_hook=epilogue_hook,
     )
     # sparse spike reflectivity over a weak smooth background (the background
     # keeps the data nonzero even when few receivers neighbor a spike)

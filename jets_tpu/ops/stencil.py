@@ -96,6 +96,10 @@ def _laplacian_df(dm, m0, state):
 
 
 def _laplacian_pallas_df(dm, m0, state):
+    if dm.ndim == 3:
+        from .pallas_solver import laplacian3d
+
+        return laplacian3d(dm, interpret=state["interpret"])
     from .pallas_stencil import laplacian2d_pallas
 
     return laplacian2d_pallas(dm, interpret=state["interpret"])
@@ -110,17 +114,19 @@ def laplacian_operator(
 
     ``impl="xla"`` (default): shift-and-add slices — measured at the HBM
     bandwidth bound on TPU v5e (19 µs for a 2048² f32 grid).
-    ``impl="pallas"``: the hand-written zero-copy DMA pipeline in
-    ``pallas_stencil.py`` (2-D float32 only) — bit-exact and at parity with
-    the XLA stencil (21 µs, same HBM bound; predicated halo DMAs, no
-    padding pass); the kernel-path template for fusing custom epilogues
-    into the stencil's single HBM pass. On CPU backends it runs in
-    interpret mode.
+    ``impl="pallas"``: hand-written zero-copy DMA pipelines — 2-D
+    (``pallas_stencil.py``: predicated halo DMAs, bit-exact, at parity
+    with XLA's 21 µs HBM bound) and 3-D (``pallas_solver.laplacian3d``:
+    slab-pipelined double-buffered ring, bit-exact; its axpy/norm-fused
+    sibling ``lap3d_axpy_norm2`` is the solver epilogue that beats the XLA
+    chain 3.1× on 256³). On CPU backends both run in interpret mode.
     """
     sp = Space(shape, dtype)
     if impl == "pallas":
-        if len(shape) != 2 or jnp.dtype(dtype) != jnp.float32:
-            raise ValueError("pallas laplacian supports 2-D float32 grids")
+        if len(shape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
+            raise ValueError(
+                "pallas laplacian supports 2-D/3-D float32 grids"
+            )
         interpret = jax.default_backend() == "cpu"
         j = Jet(dom=sp, rng=sp, df=_laplacian_pallas_df, dft="self",
                 state={"interpret": interpret})

@@ -226,9 +226,13 @@ def stacked_block_operator(
         # by runner.assemble_global from host-local slabs) pass through.
         from .runner import distribute_blocks, replicate_global
 
+        import numpy as _np
+
         def _place(v, place_fn):
             if isinstance(v, jax.Array) and not v.is_fully_addressable:
                 return v  # already a global (multi-process) array
+            if not isinstance(v, (jax.Array, _np.ndarray)):
+                return v  # static config (ints/tuples) — not device data
             return place_fn(v)
 
         bstate = {

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.jet import LinearOperator
+from ..core.jet import AdjointOperator, LinearOperator
 from ..utils import tree as tr
 
 __all__ = ["cg", "cgls", "lsqr", "lsmr", "minres", "gmres", "bicgstab", "chebyshev", "estimate_spectral_bounds", "CGState", "CGLSState", "LSQRState", "LSMRState", "MINRESState", "GMRESState", "BiCGStabState", "ChebyshevState"]
@@ -58,6 +58,46 @@ def _sym_ortho(a, bb):
     c = jnp.where(r > 0, a / rsafe, 1.0)
     s = jnp.where(r > 0, bb / rsafe, 0.0)
     return c, s, r
+
+
+def _adjoint_axpy_norm(A, dd, v, s, dom):
+    """``v_hat = A^H dd + s·v`` and ``‖v_hat‖`` — through the operator's
+    fused epilogue hook when it advertises one (static state key
+    ``adjoint_axpy_norm``; see ``ops/pallas_solver`` and the 3-D seismic
+    flagship), else the generic three-step form. The hook exists because
+    XLA's scheduling of the big 3-D while-loop body de-fuses this segment
+    (measured 1.19 ms/iter vs its ~0.6 ms roofline on 256³)."""
+    jet = getattr(A, "jet", None)
+    hook = None
+    if jet is not None and not isinstance(A, AdjointOperator):
+        hook = jet.state.get("adjoint_axpy_norm")
+    if hook is not None:
+        return hook(dd, v, s, jet.state)
+    v_hat = tr.axpy(s, v, A.adjoint_apply(dd))
+    return v_hat, dom.norm(v_hat)
+
+
+def _xw_update(x, w, v_hat, t1, t2, inv_a):
+    """LSQR solution/search update ``x' = x + t1·w, w' = inv_a·v_hat +
+    t2·w`` — on TPU in the HBM regime (big plain f32 arrays) as ONE
+    aliased two-output Pallas pass (measured: the 3-D flagship body drops
+    1.194 → 0.781 ms/iter); otherwise the generic tree-map form (which
+    wins in the VMEM-resident small/2-D regime)."""
+    if (
+        jax.default_backend() == "tpu"
+        and isinstance(x, jax.Array)
+        and isinstance(w, jax.Array)
+        and isinstance(v_hat, jax.Array)
+        and x.shape == w.shape == v_hat.shape
+        and x.dtype == w.dtype == v_hat.dtype
+    ):
+        from ..ops.pallas_solver import fits_xw_pallas, xw_update
+
+        if fits_xw_pallas(x):
+            return xw_update(x, w, v_hat, t1, t2, inv_a)
+    x = tr.xpay(x, t1, w)
+    w = tr.tmap(lambda vh, ww: inv_a * vh + t2 * ww, v_hat, w)
+    return x, w
 
 
 # ---------------------------------------------------------------------------
@@ -297,8 +337,11 @@ def lsqr(
         )  # data-space scale: cheap
         u_next, beta = _normalize(rng, u_next)
         #   alpha' v_math' = A' u' - beta v_math  →  v' = A'u' - (beta/alpha) v
-        v_hat = tr.axpy(-beta / a_safe, st.v, A.adjoint_apply(u_next))
-        alpha = dom.norm(v_hat)
+        # (fused with the norm through the operator's epilogue hook when
+        # available — one HBM pass instead of three on the 3-D flagship)
+        v_hat, alpha = _adjoint_axpy_norm(
+            A, u_next, st.v, -beta / a_safe, dom
+        )
         # eliminate damping (regularization) via an extra rotation
         c1, _, rhobar1 = _sym_ortho(st.rhobar, damp)
         phibar1 = c1 * st.phibar
@@ -311,11 +354,10 @@ def lsqr(
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         t1 = jnp.where(rho > 0, phi / rho_safe, 0.0)
         t2 = jnp.where(rho > 0, -theta / rho_safe, 0.0)
-        x = tr.xpay(st.x, t1, st.w)
-        # w' = v_math' + t2 w = v_hat/alpha' + t2 w — one fused pass
+        # x' = x + t1 w and w' = v_hat/alpha' + t2 w — one two-output pass
         an_safe = jnp.where(alpha > 0, alpha, 1.0)
         inv_a = 1.0 / an_safe
-        w = tr.tmap(lambda vh, ww: inv_a * vh + t2 * ww, v_hat, st.w)
+        x, w = _xw_update(st.x, st.w, v_hat, t1, t2, inv_a)
         hist = hist.at[st.i].set(jnp.abs(phibar))
         return LSQRState(x, u_next, v_hat, w, alpha, phibar, rhobar, st.i + 1), hist
 
@@ -662,13 +704,31 @@ def _set_row(stack, k, leaves):
 
 def _dot_all(stack, leaves):
     """<V_k, w> for ALL k at once: one fused batched reduction per leaf
-    (classical Gram-Schmidt, TPU-friendly — no sequential dot chain)."""
+    (classical Gram-Schmidt, TPU-friendly — no sequential dot chain).
+    Conjugate-linear in the basis (complex-correct projection)."""
     parts = [
-        jnp.tensordot(s, l, axes=(tuple(range(1, s.ndim)),
-                                  tuple(range(l.ndim))))
+        jnp.tensordot(jnp.conj(s), l, axes=(tuple(range(1, s.ndim)),
+                                            tuple(range(l.ndim))))
         for s, l in zip(stack, leaves)
     ]
     return sum(parts)
+
+
+def _cgivens(f, g):
+    """LAPACK ``lartg``-style Givens rotation for possibly-COMPLEX ``f`` and
+    real-or-complex ``g``: returns ``(c, s, r)`` with ``c`` real, ``s``
+    complex, ``[c s; -conj(s) c] @ [f; g] = [r; 0]`` — the complex
+    generalization of :func:`_sym_ortho` (same ``(0,0) -> (1,0,0)``
+    convention so exhausted recurrences stay NaN-free)."""
+    af, ag = jnp.abs(f), jnp.abs(g)
+    d = jnp.sqrt(af**2 + ag**2)
+    dsafe = jnp.where(d > 0, d, 1.0)
+    afsafe = jnp.where(af > 0, af, 1.0)
+    phase = jnp.where(af > 0, f / afsafe, jnp.ones_like(f))
+    c = jnp.where(d > 0, af / dsafe, 1.0)
+    s = jnp.where(d > 0, phase * jnp.conj(g) / dsafe, jnp.zeros_like(f))
+    r = phase * d
+    return c, s, r
 
 
 def _combine(stack, coeff):
@@ -687,25 +747,24 @@ def gmres(
     tol: float = 1e-6,
     state: Optional[GMRESState] = None,
 ) -> SolveResult:
-    """Restarted GMRES for a SQUARE, nonsymmetric, real operator: minimizes
-    ``||A x - b||`` over each restart-cycle Krylov space.
+    """Restarted GMRES for a SQUARE, nonsymmetric operator (real OR
+    complex): minimizes ``||A x - b||`` over each restart-cycle Krylov space.
 
     TPU design: the Arnoldi basis is a stacked array (leading dim
     ``restart+1``) so orthogonalization is classical Gram-Schmidt run TWICE
     ("twice is enough") — two fused batched reductions per step instead of a
     sequential modified-GS dot chain; unfilled basis rows are zero so no
-    masking is needed in the projection. Givens rotations condense the
-    Hessenberg column per step; the residual estimate ``|g[j+1]|`` is free.
-    ``maxiter`` counts total inner iterations; resume is at restart
-    granularity via ``state``."""
+    masking is needed in the projection. Givens rotations (complex-general,
+    :func:`_cgivens`) condense the Hessenberg column per step; the residual
+    estimate ``|g[j+1]|`` is free. ``maxiter`` counts total inner
+    iterations; resume is at restart granularity via ``state``."""
     dom = A.dom
-    if jnp.issubdtype(dom.dtype, jnp.complexfloating):
-        raise NotImplementedError(
-            "gmres supports real operators (complex Givens not implemented);"
-            " use lsqr/lsmr for complex systems"
-        )
+    complex_dom = jnp.issubdtype(dom.dtype, jnp.complexfloating)
     m = int(restart)
     bnorm = dom.norm(b)
+    # Hessenberg/rotation scalars live in the operator's field: complex for
+    # complex operators (c stays real; s, H, g complex)
+    hdtype = dom.dtype if complex_dom else bnorm.dtype
     leaves0, treedef = jax.tree_util.tree_flatten(b)
 
     if state is None:
@@ -729,10 +788,10 @@ def gmres(
         beta = dom.norm(r)
         rl = jax.tree_util.tree_leaves(tr.scale(1.0 / _safe(beta), r))
         V = _set_row(_stack_zeros(leaves0, m + 1), 0, rl)
-        H = jnp.zeros((m + 1, m), bnorm.dtype)
-        cs = jnp.zeros((m,), bnorm.dtype)
-        sn = jnp.zeros((m,), bnorm.dtype)
-        g = jnp.zeros((m + 1,), bnorm.dtype).at[0].set(beta)
+        H = jnp.zeros((m + 1, m), hdtype)
+        cs = jnp.zeros((m,), bnorm.dtype)  # c is always real
+        sn = jnp.zeros((m,), hdtype)
+        g = jnp.zeros((m + 1,), hdtype).at[0].set(beta)
 
         def arnoldi(j, inner):
             V, H, cs, sn, g, hist = inner
@@ -749,21 +808,23 @@ def gmres(
             V = _set_row(V, j + 1, [wl / _safe(wnorm) for wl in w])
             hcol = h.at[j + 1].set(wnorm)
 
+            hcol = hcol.astype(hdtype)
+
             # apply previous rotations 0..j-1 to the new column
             def rot(k, hc):
                 hk, hk1 = hc[k], hc[k + 1]
                 on = k < j
                 nk = jnp.where(on, cs[k] * hk + sn[k] * hk1, hk)
-                nk1 = jnp.where(on, -sn[k] * hk + cs[k] * hk1, hk1)
+                nk1 = jnp.where(on, -jnp.conj(sn[k]) * hk + cs[k] * hk1, hk1)
                 return hc.at[k].set(nk).at[k + 1].set(nk1)
 
             hcol = lax.fori_loop(0, m, rot, hcol)
-            c, s, rr = _sym_ortho(hcol[j], hcol[j + 1])
+            c, s, rr = _cgivens(hcol[j], hcol[j + 1])
             hcol = hcol.at[j].set(rr).at[j + 1].set(0.0)
             cs = cs.at[j].set(c)
             sn = sn.at[j].set(s)
             gj = g[j]
-            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+            g = g.at[j].set(c * gj).at[j + 1].set(-jnp.conj(s) * gj)
             H = lax.dynamic_update_slice(H, hcol[:, None], (0, j))
             hist = hist.at[st.i + j].set(jnp.abs(g[j + 1]), mode="drop")
             return V, H, cs, sn, g, hist

@@ -265,6 +265,54 @@ def test_gmres_resume_restart_boundary():
     assert np.allclose(np.asarray(resumed.x), np.asarray(full.x), atol=1e-10)
 
 
+def test_gmres_complex_matches_dense_solve():
+    """Complex GMRES (complex Givens rotations): dense ground truth on a
+    well-conditioned nonsymmetric complex matrix."""
+    from jets_tpu.solvers import gmres
+    rng = np.random.default_rng(11)
+    n = 48
+    N = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    M = np.eye(n) + 0.4 * N / np.sqrt(2 * n)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = M @ x_true
+    A = matrix_operator(jnp.asarray(M, jnp.complex128))
+    res = gmres(A, jnp.asarray(b), maxiter=96, restart=16, tol=1e-13)
+    assert np.allclose(np.asarray(res.x), x_true, atol=1e-8)
+    h = np.asarray(res.history)
+    h = h[np.isfinite(h)]
+    assert h[-1] < 1e-10 * h[0] + 1e-12
+
+
+def test_gmres_complex_on_fft_composite():
+    """GMRES on a complex-domain operator composite (the FFT/radon pairing
+    the complex hole used to block): A = F^H D F + 2I, D complex diagonal."""
+    from jets_tpu.ops import fft_operator, identity_operator
+    from jets_tpu.ops.diagonal import diagonal_operator
+    from jets_tpu.solvers import gmres
+    sp = jt.Space((32,), jnp.complex128)
+    key = jax.random.PRNGKey(4)
+    dvals = 0.5 * sp.randn(key)
+    F = fft_operator(sp)
+    A = (F.H @ diagonal_operator(dvals) @ F) + 2.0 * identity_operator(sp)
+    x_true = sp.randn(jax.random.PRNGKey(5))
+    b = A(x_true)
+    res = gmres(A, b, maxiter=96, restart=16, tol=1e-13)
+    assert np.allclose(np.asarray(res.x), np.asarray(x_true), atol=1e-8)
+
+
+def test_gmres_complex_single_cycle_exact():
+    from jets_tpu.solvers import gmres
+    rng = np.random.default_rng(12)
+    n = 20
+    M = np.eye(n) + 0.3 * (
+        rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    ) / np.sqrt(2 * n)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    A = matrix_operator(jnp.asarray(M, jnp.complex128))
+    res = gmres(A, jnp.asarray(M @ x_true), maxiter=n, restart=n, tol=0.0)
+    assert np.allclose(np.asarray(res.x), x_true, atol=1e-8)
+
+
 def test_bicgstab_matches_dense_solve():
     from jets_tpu.solvers import bicgstab
     M, x_true, b = _nonsymmetric_problem()
