@@ -44,10 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "xw_update",
     "lsmr_update",
+    "cg_update",
+    "p_update",
     "lap3d_axpy_norm2",
     "laplacian3d",
     "fits_xw_pallas",
     "fits_lsmr_pallas",
+    "fits_cg_pallas",
     "HBM_REGIME_BYTES",
 ]
 
@@ -203,6 +206,89 @@ def lsmr_update(v_hat, h, hbar, x, c_hb, c_x, c_h, inv_a, *,
         input_output_aliases={} if interpret else {2: 0, 3: 1, 4: 2},
         interpret=interpret,
     )(scal, v_hat, h, hbar, x)
+
+
+# ---------------------------------------------------------------------------
+# CG update: x/r in one aliased pass with the new rho accumulated in-pass
+# ---------------------------------------------------------------------------
+
+
+def _cg_kernel(s_ref, x_ref, r_ref, p_ref, q_ref, xo_ref, ro_ref, acc_ref):
+    i = pl.program_id(0)
+    alpha = s_ref[0]
+    xo_ref[...] = x_ref[...] + alpha * p_ref[...]
+    rn = r_ref[...] - alpha * q_ref[...]
+    ro_ref[...] = rn
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((1, 1), acc_ref.dtype)
+
+    acc_ref[...] += jnp.sum(rn * rn).reshape(1, 1)
+
+
+def fits_cg_pallas(x) -> bool:
+    if not hasattr(x, "shape") or x.dtype != jnp.float32 or x.ndim < 2:
+        return False
+    if x.shape[-1] % 128 != 0:
+        return False
+    if x.size * x.dtype.itemsize < HBM_REGIME_BYTES:
+        return False
+    return _update_tile(x.shape, 4, 6) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_update(x, r, p, q, alpha, *, interpret: bool = False):
+    """CG's solution/residual update ``x' = x + α·p, r' = r − α·q`` with
+    ``rho' = ‖r'‖²`` accumulated in the same pass — 6 HBM touches; returns
+    ``(x', r', rho')``. (The un-preconditioned CG's rho IS the squared
+    residual norm, so the stopping-test reduction disappears too.)"""
+    shape = x.shape
+    T = _update_tile(shape, x.dtype.itemsize, 6)
+    grid = (shape[0] // T,)
+    blk = (T,) + shape[1:]
+    idx = lambda i: (i,) + (0,) * (len(shape) - 1)  # noqa: E731
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    scal = jnp.asarray(alpha, x.dtype)[None]
+    xo, ro, acc = pl.pallas_call(
+        _cg_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vspec] * 4,
+        out_specs=[vspec, vspec,
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct(shape, x.dtype)] * 2
+        + [jax.ShapeDtypeStruct((1, 1), x.dtype)],
+        input_output_aliases={} if interpret else {1: 0, 2: 1},
+        interpret=interpret,
+    )(scal, x, r, p, q)
+    return xo, ro, acc[0, 0]
+
+
+def _p_kernel(s_ref, r_ref, p_ref, po_ref):
+    po_ref[...] = r_ref[...] + s_ref[0] * p_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def p_update(r, p, beta, *, interpret: bool = False):
+    """CG's search-direction update ``p' = r + β·p`` as one aliased pass
+    (3 HBM touches)."""
+    shape = r.shape
+    T = _update_tile(shape, r.dtype.itemsize, 3)
+    grid = (shape[0] // T,)
+    blk = (T,) + shape[1:]
+    idx = lambda i: (i,) + (0,) * (len(shape) - 1)  # noqa: E731
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    scal = jnp.asarray(beta, r.dtype)[None]
+    return pl.pallas_call(
+        _p_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct(shape, r.dtype),
+        input_output_aliases={} if interpret else {2: 0},
+        interpret=interpret,
+    )(scal, r, p)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,28 @@ def test_xw_update_matches_reference(shape):
     )
 
 
+def test_cg_update_matches_reference():
+    from jets_tpu.ops.pallas_solver import cg_update, p_update
+
+    rng = np.random.default_rng(7)
+    shape = (8, 16, 128)
+    x, r, p, q = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+                  for _ in range(4))
+    alpha = 0.42
+    xo, ro, rho = cg_update(x, r, p, q, alpha, interpret=True)
+    r_want = np.asarray(r) - np.float32(alpha) * np.asarray(q)
+    np.testing.assert_allclose(
+        np.asarray(xo), np.asarray(x) + np.float32(alpha) * np.asarray(p),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ro), r_want, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        float(rho), float(np.sum(r_want.astype(np.float64) ** 2)), rtol=1e-5)
+    po = p_update(ro, p, -0.3, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(po), np.asarray(ro) + np.float32(-0.3) * np.asarray(p),
+        rtol=1e-4, atol=1e-6)
+
+
 def test_lsmr_update_matches_reference():
     from jets_tpu.ops.pallas_solver import lsmr_update
 

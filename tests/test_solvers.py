@@ -313,6 +313,47 @@ def test_gmres_complex_single_cycle_exact():
     assert np.allclose(np.asarray(res.x), x_true, atol=1e-8)
 
 
+def test_complex_least_squares_family():
+    """LSQR/LSMR/CGLS on a COMPLEX overdetermined system match the dense
+    lstsq solution (the recurrence scalars are real norms, so the
+    bidiagonalization is complex-safe by construction — pin it)."""
+    from jets_tpu.solvers import cgls, lsmr, lsqr
+
+    rng = np.random.default_rng(21)
+    m_, n_ = 40, 24
+    M = (rng.standard_normal((m_, n_)) + 1j * rng.standard_normal((m_, n_)))
+    b = rng.standard_normal(m_) + 1j * rng.standard_normal(m_)
+    want = np.linalg.lstsq(M, b, rcond=None)[0]
+    A = matrix_operator(jnp.asarray(M, jnp.complex128))
+    for solver in (lsqr, lsmr, cgls):
+        res = solver(A, jnp.asarray(b), maxiter=200, tol=1e-14)
+        np.testing.assert_allclose(np.asarray(res.x), want, atol=1e-8,
+                                   err_msg=solver.__name__)
+
+
+def test_complex_hermitian_family():
+    """CG and MINRES on a complex Hermitian positive-definite system;
+    BiCGStab on a complex nonsymmetric square system."""
+    from jets_tpu.solvers import bicgstab, cg, minres
+
+    rng = np.random.default_rng(22)
+    n = 30
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = B @ B.conj().T + n * np.eye(n)  # Hermitian PD
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    want = np.linalg.solve(H, b)
+    Ah = matrix_operator(jnp.asarray(H, jnp.complex128))
+    for solver in (cg, minres):
+        res = solver(Ah, jnp.asarray(b), maxiter=300, tol=1e-14)
+        np.testing.assert_allclose(np.asarray(res.x), want, atol=1e-8,
+                                   err_msg=solver.__name__)
+    Nsq = np.eye(n) + 0.4 * B / np.sqrt(2 * n)
+    want2 = np.linalg.solve(Nsq, b)
+    res = bicgstab(matrix_operator(jnp.asarray(Nsq, jnp.complex128)),
+                   jnp.asarray(b), maxiter=300, tol=1e-13)
+    np.testing.assert_allclose(np.asarray(res.x), want2, atol=1e-7)
+
+
 def test_bicgstab_matches_dense_solve():
     from jets_tpu.solvers import bicgstab
     M, x_true, b = _nonsymmetric_problem()
