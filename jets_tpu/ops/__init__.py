@@ -52,6 +52,19 @@ from .transforms import (
     reshape_operator,
     restriction_operator,
 )
+from .sampling import (
+    kaiser_sinc_matrix,
+    sinc_point_sampling_operator,
+    sinc_sampling_operator,
+)
+from .wave import (
+    born_operator,
+    cpml_wave_propagator,
+    multishot_wave_operator,
+    offgrid_wave_propagator,
+    vd_wave_propagator,
+    wave_propagator,
+)
 from .wavelet import WAVELETS, wavelet_operator
 
 __all__ = [
@@ -108,4 +121,13 @@ __all__ = [
     "permutation_operator",
     "WAVELETS",
     "wavelet_operator",
+    "kaiser_sinc_matrix",
+    "sinc_point_sampling_operator",
+    "sinc_sampling_operator",
+    "born_operator",
+    "cpml_wave_propagator",
+    "multishot_wave_operator",
+    "offgrid_wave_propagator",
+    "vd_wave_propagator",
+    "wave_propagator",
 ]

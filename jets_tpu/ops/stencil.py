@@ -75,24 +75,72 @@ def blur2d_operator(shape: Sequence[int], radius: int = 2,
     return stencil_operator(Space(shape, dtype), k)
 
 
-def laplacian_nd(x):
+# Central finite-difference coefficients for the second derivative,
+# (c0, (c1, c2, ...)): d²u/dx² ≈ (c0*u[i] + Σ_s c_s*(u[i-s]+u[i+s])) / h².
+# Standard Taylor-table values; order 2 is the classic (1, -2, 1).
+_D2_COEFFS = {
+    2: (-2.0, (1.0,)),
+    4: (-5.0 / 2.0, (4.0 / 3.0, -1.0 / 12.0)),
+    8: (
+        -205.0 / 72.0,
+        (8.0 / 5.0, -1.0 / 5.0, 8.0 / 315.0, -1.0 / 560.0),
+    ),
+}
+
+
+def laplacian_nd(x, order: int = 2):
     """n-D Laplacian via shifted slices of a zero-padded array — pure VPU
     adds, measurably faster on TPU than a 1-channel XLA convolution, and
     exactly symmetric with the zero boundary (self-adjoint). THE single
     shared implementation: the wave propagator and the fused seismic
-    flagship import this so their bit-exactness guarantees hold."""
+    flagship import this so their bit-exactness guarantees hold.
+
+    ``order`` selects the spatial accuracy (2, 4 or 8 — the orders the
+    reference family's JetPackWaveFD propagators offer). All orders keep
+    the zero boundary and symmetric taps, so self-adjointness holds
+    exactly at every order. ``order=2`` is bit-identical to the original
+    implementation (the flagship's fused/composed equality depends on it).
+    """
     nd = x.ndim
-    xp = jnp.pad(x, 1)
-    out = (-2.0 * nd) * x
+    c0, cs = _D2_COEFFS[order]
+    halfw = len(cs)
+    xp = jnp.pad(x, halfw)
+    out = (c0 * nd) * x
     for ax in range(nd):
-        lo = tuple(slice(0, -2) if i == ax else slice(1, -1) for i in range(nd))
-        hi = tuple(slice(2, None) if i == ax else slice(1, -1) for i in range(nd))
-        out = out + xp[lo] + xp[hi]
+        for s, c in enumerate(cs, start=1):
+            lo = tuple(
+                slice(halfw - s, -(halfw + s))
+                if i == ax else slice(halfw, -halfw)
+                for i in range(nd)
+            )
+            hi = tuple(
+                slice(halfw + s, (s - halfw) or None)
+                if i == ax else slice(halfw, -halfw)
+                for i in range(nd)
+            )
+            if c == 1.0:
+                # keep the original two-add association: the Pallas
+                # kernels' bit-exactness gates reproduce this exact
+                # floating-point summation order
+                out = out + xp[lo] + xp[hi]
+            else:
+                out = out + c * (xp[lo] + xp[hi])
     return out
 
 
 def _laplacian_df(dm, m0, state):
     return laplacian_nd(dm)
+
+
+def _laplacian4_df(dm, m0, state):
+    return laplacian_nd(dm, order=4)
+
+
+def _laplacian8_df(dm, m0, state):
+    return laplacian_nd(dm, order=8)
+
+
+_LAPLACIAN_DF = {2: _laplacian_df, 4: _laplacian4_df, 8: _laplacian8_df}
 
 
 def _laplacian_pallas_df(dm, m0, state):
@@ -106,7 +154,8 @@ def _laplacian_pallas_df(dm, m0, state):
 
 
 def laplacian_operator(
-    shape: Sequence[int], dtype=jnp.float32, *, impl: str = "xla"
+    shape: Sequence[int], dtype=jnp.float32, *, impl: str = "xla",
+    order: int = 2,
 ) -> LinearOperator:
     """Second-order n-D Laplacian stencil — the seismic-style wave-operator
     building block of BASELINE config #5. Self-adjoint (symmetric stencil,
@@ -122,14 +171,18 @@ def laplacian_operator(
     chain 3.1× on 256³). On CPU backends both run in interpret mode.
     """
     sp = Space(shape, dtype)
+    if order not in _D2_COEFFS:
+        raise ValueError(f"order must be one of {sorted(_D2_COEFFS)}")
     if impl == "pallas":
         if len(shape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
             raise ValueError(
                 "pallas laplacian supports 2-D/3-D float32 grids"
             )
+        if order != 2:
+            raise ValueError("pallas laplacian implements order=2 only")
         interpret = jax.default_backend() == "cpu"
         j = Jet(dom=sp, rng=sp, df=_laplacian_pallas_df, dft="self",
                 state={"interpret": interpret})
     else:
-        j = Jet(dom=sp, rng=sp, df=_laplacian_df, dft="self")
+        j = Jet(dom=sp, rng=sp, df=_LAPLACIAN_DF[order], dft="self")
     return LinearOperator(j)

@@ -38,7 +38,14 @@ from jax import lax
 from ..core.jet import Jet, LinearOperator, Operator
 from ..core.spaces import Space
 
-__all__ = ["wave_propagator", "born_operator", "multishot_wave_operator"]
+__all__ = [
+    "wave_propagator",
+    "born_operator",
+    "multishot_wave_operator",
+    "vd_wave_propagator",
+    "cpml_wave_propagator",
+    "offgrid_wave_propagator",
+]
 
 
 from .stencil import laplacian_nd as _laplacian  # shared implementation
@@ -70,11 +77,15 @@ def _ricker(nt: int, dt: float, freq: float, dtype=jnp.float32):
     return ((1 - 2 * a) * jnp.exp(-a)).astype(dtype)
 
 
-def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge, remat_blocks):
+def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
+               remat_blocks, order: int = 2, src_mask=None, extract=None):
     """Leapfrog time stepping; returns receiver traces (nt, nrcv).
 
     ``jax.checkpoint`` wraps blocks of steps so reverse-mode memory is
-    O(grid * nt / remat_blocks) instead of O(grid * nt).
+    O(grid * nt / remat_blocks) instead of O(grid * nt). ``order`` is the
+    spatial accuracy of the Laplacian (2/4/8 — the JetPackWaveFD ladder).
+    ``src_mask``/``extract`` override the default on-grid point injection /
+    flat-gather extraction (used by the off-grid Kaiser-sinc geometry).
     """
     shape = c.shape
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
@@ -88,15 +99,19 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge, remat_blocks
     size = 1
     for s in shape:
         size *= int(s)
-    src_mask = (
-        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
-    )
+    if src_mask is None:
+        src_mask = (
+            jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
+    if extract is None:
+        extract = lambda u: u.reshape(-1)[rcv_idx]  # noqa: E731
 
     def step(carry, s_t):
         u_prev, u = carry
-        lap = _laplacian(u)
+        lap = _laplacian(u, order=order)
         u_next = (2.0 * u - u_prev + c2dt2 * lap) * sponge + s_t * src_mask
-        rec = u_next.reshape(-1)[rcv_idx]
+        rec = extract(u_next)
         return (u, u_next), rec
 
     step = jax.checkpoint(step, prevent_cse=False)
@@ -120,6 +135,7 @@ def wave_propagator(
     src_idx: int = 0,
     rcv_idx=None,
     sponge_width: int = 12,
+    space_order: int = 2,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward-modeling operator ``F: velocity c → traces d``.
@@ -128,6 +144,7 @@ def wave_propagator(
     Tangent/adjoint are JAX jvp/vjp through the rematerialized scan — the
     jet's ``upstate`` hook (reference ``point!``/``upstate!``,
     ``src/Jets.jl:297-301``) is where the linearization point is pinned.
+    ``space_order`` ∈ {2, 4, 8} picks the spatial stencil accuracy.
     """
     grid_shape = tuple(int(s) for s in grid_shape)
     sp = Space(grid_shape, dtype)
@@ -143,6 +160,7 @@ def wave_propagator(
         return _propagate(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=1,
+            order=space_order,
         )
 
     def _df(dc, m0, state):
@@ -194,6 +212,9 @@ def multishot_wave_operator(
     freq: float = 15.0,
     rcv_idx=None,
     sponge_width: int = 12,
+    space_order: int = 2,
+    window_corners=None,
+    window_shape: Optional[Sequence[int]] = None,
     mesh=None,
     axis: str = "block",
     dtype=jnp.float32,
@@ -205,6 +226,17 @@ def multishot_wave_operator(
     shard over the mesh block axis); the adjoint is the per-shot reverse
     propagation summed across shots — a ``psum`` over ICI in the sharded
     case, exactly the reference's block-adjoint accumulation.
+
+    **Ginsu windowing** (JetPackWaveFD's per-shot model subsetting): pass
+    ``window_shape`` (one static shape for every shot — the TPU-first
+    ragged-window design: uniform windows vmap/shard like any stacked
+    block) and per-shot ``window_corners`` ``(nshots, ndim)``. Each shot
+    then propagates only inside ``c[corner : corner+window_shape]``
+    (``lax.dynamic_slice``); ``src_indices``/``rcv_idx`` become
+    window-relative flat indices. The adjoint places each shot's model
+    update back through the transposed slice (a ``dynamic_update_slice``
+    scatter-add, derived — not hand-written — via ``linear_transpose``),
+    so gradient accumulation over overlapping windows is exact.
     """
     from ..parallel.sharded import stacked_block_operator
 
@@ -212,17 +244,31 @@ def multishot_wave_operator(
     sp = Space(grid_shape, dtype)
     src_indices = jnp.asarray(src_indices, jnp.int32)
     nshots = int(src_indices.shape[0])
+    prop_shape = grid_shape
+    if window_shape is not None:
+        prop_shape = tuple(int(s) for s in window_shape)
+        window_corners = jnp.asarray(window_corners, jnp.int32)
+        if window_corners.shape != (nshots, len(grid_shape)):
+            raise ValueError(
+                "window_corners must be (nshots, ndim) when window_shape "
+                "is given"
+            )
+    psp = Space(prop_shape, dtype)
     if rcv_idx is None:
-        n = sp.size
+        n = psp.size
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _sponge(prop_shape, sponge_width).astype(dtype)
 
     def shot_f(c, bs):
+        if window_shape is not None:
+            starts = tuple(bs["corner"][i] for i in range(len(prop_shape)))
+            c = lax.dynamic_slice(c, starts, prop_shape)
         return _propagate(
             c, bs["wavelet"], bs["src"], bs["rcv"],
             dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=1,
+            order=space_order,
         )
 
     def shot_df(dc, c0, bs):
@@ -233,14 +279,435 @@ def multishot_wave_operator(
     # over the block axis (transpose of the implicit pvary of the replicated
     # model), and the stacked adjoint's psum would double-count. The adjoint
     # is the jet-level linear transpose of the WHOLE sharded tangent.
+    bstate = {"src": src_indices}
+    if window_shape is not None:
+        bstate["corner"] = window_corners
     return stacked_block_operator(
         nblocks=nshots,
         dom=sp,
         rng_block=Space((nt, int(rcv_idx.shape[0])), dtype),
-        bstate={"src": src_indices},
+        bstate=bstate,
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,
         df=shot_df,
         mesh=mesh,
         axis=axis,
     )
+
+
+# ---------------------------------------------------------------------------
+# CPML absorbing boundaries — the JetPackWaveFD boundary condition (the
+# reference family's FD propagators use PML; the sponge above is the cheap
+# default). Second-order-form convolutional PML with two memory variables
+# per axis (psi on the first derivative, zeta on the second), after
+# Pasalic & McGarry (SEG 2010). TPU-first shape: the memory variables are
+# FULL-GRID fields whose update coefficients (a, b) are zero/one in the
+# interior, so every update is one fused elementwise pass — no boundary
+# strips, no scatters, no data-dependent control flow inside the scan.
+# ---------------------------------------------------------------------------
+
+
+def _d1_axis(x, ax, inv_2dx):
+    """Central first derivative along ``ax`` with zero boundary."""
+    nd = x.ndim
+    xp = jnp.pad(x, tuple((1, 1) if i == ax else (0, 0) for i in range(nd)))
+    lo = tuple(slice(0, -2) if i == ax else slice(None) for i in range(nd))
+    hi = tuple(slice(2, None) if i == ax else slice(None) for i in range(nd))
+    return (xp[hi] - xp[lo]) * inv_2dx
+
+
+def _d2_axis(x, ax, inv_dx2):
+    """Second derivative along ``ax`` (2nd order), zero boundary."""
+    nd = x.ndim
+    xp = jnp.pad(x, tuple((1, 1) if i == ax else (0, 0) for i in range(nd)))
+    lo = tuple(slice(0, -2) if i == ax else slice(None) for i in range(nd))
+    hi = tuple(slice(2, None) if i == ax else slice(None) for i in range(nd))
+    return (xp[lo] + xp[hi] - 2.0 * x) * inv_dx2
+
+
+def _cpml_profiles(shape, width, dt, dx, cmax, f0, R=1e-3, dtype=jnp.float32):
+    """Per-axis CPML update coefficients ``(a_ax, b_ax)`` as broadcastable
+    1-D profiles. ``sigma`` ramps quadratically to
+    ``sigma_max = -3 c ln(R) / (2 W dx)`` at the outer edge; ``alpha`` ramps
+    linearly from ``pi f0`` at the inner PML edge to 0 outside. In the
+    interior ``sigma = alpha = 0`` gives ``b = 1, a = 0`` — the memory
+    fields stay identically zero there and the update fuses to a no-op."""
+    import numpy as np
+
+    a_profiles, b_profiles = [], []
+    sig_max = 3.0 * cmax * np.log(1.0 / R) / (2.0 * width * dx)
+    for ax, n in enumerate(shape):
+        i = np.arange(n, dtype=np.float64)
+        depth = np.maximum(width - np.minimum(i, n - 1 - i), 0.0) / width
+        sig = sig_max * depth**2
+        alpha = np.pi * f0 * (1.0 - depth) * (depth > 0)
+        b = np.exp(-(sig + alpha) * dt)
+        denom = np.where(sig + alpha > 0, sig + alpha, 1.0)
+        a = np.where(sig > 0, sig / denom * (b - 1.0), 0.0)
+        bshape = tuple(n if j == ax else 1 for j in range(len(shape)))
+        a_profiles.append(jnp.asarray(a, dtype).reshape(bshape))
+        b_profiles.append(jnp.asarray(b, dtype).reshape(bshape))
+    return a_profiles, b_profiles
+
+
+def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
+                    a_prof, b_prof, order: int = 2):
+    """Leapfrog stepping with CPML memory-variable boundaries. The carry is
+    ``(u_prev, u, psi_0..psi_{nd-1}, zeta_0..zeta_{nd-1})`` — note this is a
+    ≥4-large-carry scan body (see the de-fusion caveat in CLAUDE.md): CPML
+    trades step cost for far lower boundary reflectivity; the sponge path
+    stays the perf default."""
+    shape = c.shape
+    nd = c.ndim
+    c2dt2 = (c * c) * (dt * dt)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
+    inv_2dx = jnp.asarray(1.0 / (2.0 * dx), c.dtype)
+
+    size = 1
+    for s in shape:
+        size *= int(s)
+    src_mask = (
+        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
+    )
+
+    def step(carry, s_t):
+        u_prev, u, psis, zetas = carry
+        new_psis, new_zetas, lap_terms = [], [], []
+        for ax in range(nd):
+            d1 = _d1_axis(u, ax, inv_2dx)
+            psi = b_prof[ax] * psis[ax] + a_prof[ax] * d1
+            d2 = _d2_axis(u, ax, inv_dx2)
+            dpsi = _d1_axis(psi, ax, inv_2dx)
+            zeta = b_prof[ax] * zetas[ax] + a_prof[ax] * (d2 + dpsi)
+            new_psis.append(psi)
+            new_zetas.append(zeta)
+            lap_terms.append(d2 + dpsi + zeta)
+        lap = lap_terms[0]
+        for t in lap_terms[1:]:
+            lap = lap + t
+        u_next = 2.0 * u - u_prev + c2dt2 * lap + s_t * src_mask
+        rec = u_next.reshape(-1)[rcv_idx]
+        return (u, u_next, tuple(new_psis), tuple(new_zetas)), rec
+
+    step = jax.checkpoint(step, prevent_cse=False)
+    zero = (src_idx * 0).astype(c.dtype)
+    u0 = jnp.zeros(shape, c.dtype) + zero
+    z = tuple(jnp.zeros(shape, c.dtype) for _ in range(nd))
+    (_, _, _, _), traces = lax.scan(step, (u0, u0, z, z), src_wavelet)
+    return traces
+
+
+def cpml_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    src_idx: int = 0,
+    rcv_idx=None,
+    pml_width: int = 12,
+    cmax: float = 4000.0,
+    dtype=jnp.float32,
+) -> Operator:
+    """Nonlinear forward modeling ``F: c → d`` with CPML absorbing
+    boundaries (Pasalic–McGarry second-order-form convolutional PML).
+    Same jet contract as :func:`wave_propagator`; measured boundary
+    reflectivity is orders of magnitude below the cosine sponge at equal
+    width (see ``tests/test_wavefd.py``). ``cmax`` is the static velocity
+    cap used to scale the damping profile (CPML profiles are compile-time
+    constants, not functions of the model — keeping the jet linearization
+    exact and the profiles out of the gradient)."""
+    grid_shape = tuple(int(s) for s in grid_shape)
+    sp = Space(grid_shape, dtype)
+    if rcv_idx is None:
+        n = sp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    a_prof, b_prof = _cpml_profiles(
+        grid_shape, pml_width, dt, dx, cmax, freq, dtype=dtype
+    )
+    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+
+    def _f(c, state):
+        return _propagate_cpml(
+            c, state["wavelet"], state["src_idx"], state["rcv_idx"],
+            dt=dt, dx=dx, a_prof=state["a_prof"], b_prof=state["b_prof"],
+        )
+
+    def _df(dc, m0, state):
+        _, tangent = jax.jvp(lambda c: _f(c, state), (m0,), (dc,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda c: _f(c, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=sp, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "a_prof": tuple(a_prof),
+            "b_prof": tuple(b_prof),
+            "src_idx": jnp.asarray(src_idx, jnp.int32),
+            "rcv_idx": rcv_idx,
+        },
+    )
+    return Operator(j)
+
+
+# ---------------------------------------------------------------------------
+# Variable-density acoustics — JetPackWaveFD's two-parameter (V, B) physics:
+#     (1/kappa) p_tt = div(b grad p) + s,   kappa = rho c^2 = c^2 / b
+# with b the buoyancy (1/rho). The spatial operator is the staggered
+# self-adjoint form  -(D+)^T diag(b_half) (D+)  per axis, so the pinned-b
+# pressure operator is exactly symmetric (zero boundary), and the model is
+# the BLOCK vector (c, b) — the two-parameter FWI domain is a BlockSpace,
+# exercising the block calculus end-to-end through autodiff.
+# ---------------------------------------------------------------------------
+
+
+def _div_b_grad(u, b, inv_dx2):
+    """``Σ_ax D⁻(b_{i+1/2} · D⁺u) / dx²`` with zero boundary — symmetric in
+    ``u`` for fixed ``b`` by construction (``D⁻ = -(D⁺)ᵀ``)."""
+    nd = u.ndim
+    out = None
+    for ax in range(nd):
+        sl_lo = tuple(slice(0, -1) if i == ax else slice(None)
+                      for i in range(nd))
+        sl_hi = tuple(slice(1, None) if i == ax else slice(None)
+                      for i in range(nd))
+        dplus = u[sl_hi] - u[sl_lo]                      # at i+1/2
+        b_half = 0.5 * (b[sl_hi] + b[sl_lo])
+        flux = b_half * dplus
+        pads = tuple((1, 1) if i == ax else (0, 0) for i in range(nd))
+        fp = jnp.pad(flux, pads)  # zero flux outside the grid
+        # cell-centered divergence: div_i = flux_{i+1/2} - flux_{i-1/2}
+        dminus = (fp[tuple(slice(1, None) if i == ax else slice(None)
+                           for i in range(nd))]
+                  - fp[tuple(slice(0, -1) if i == ax else slice(None)
+                             for i in range(nd))])
+        out = dminus * inv_dx2 if out is None else out + dminus * inv_dx2
+    return out
+
+
+def _propagate_vd(c, b, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge):
+    """Variable-density leapfrog: p_tt = kappa * div(b grad p) + kappa s."""
+    shape = c.shape
+    kappa = (c * c) / b
+    kdt2 = kappa * (dt * dt)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
+
+    size = 1
+    for s in shape:
+        size *= int(s)
+    src_mask = jnp.zeros((size,), c.dtype).at[src_idx].set(1.0).reshape(shape)
+
+    def step(carry, s_t):
+        p_prev, p = carry
+        lap = _div_b_grad(p, b, inv_dx2)
+        p_next = (2.0 * p - p_prev + kdt2 * (lap + s_t * src_mask)) * sponge
+        rec = p_next.reshape(-1)[rcv_idx]
+        return (p, p_next), rec
+
+    step = jax.checkpoint(step, prevent_cse=False)
+    zero = (src_idx * 0).astype(c.dtype)
+    p0 = jnp.zeros(shape, c.dtype) + zero
+    (_, _), traces = lax.scan(step, (p0, p0), src_wavelet)
+    return traces
+
+
+def vd_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    src_idx: int = 0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    dtype=jnp.float32,
+) -> Operator:
+    """Two-parameter variable-density forward modeling
+    ``F: (c, b) → traces`` — the JetPackWaveFD velocity+buoyancy physics.
+
+    Domain: ``BlockSpace([grid, grid])`` holding the velocity ``c`` and
+    buoyancy ``b = 1/ρ`` blocks (the reference family's multi-parameter
+    FWI model is exactly a block vector, ``src/Jets.jl:736-760``); range:
+    ``(nt, nrcv)`` traces. Tangent/adjoint are jvp/vjp through the
+    rematerialized scan over the WHOLE block vector, so the adjoint
+    returns the (δc, δb) gradient pair in one reverse pass."""
+    from ..core.blockspace import BlockSpace
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp, gsp])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+
+    def _f(m, state):
+        c = m.getblock(0).reshape(grid_shape)
+        b = m.getblock(1).reshape(grid_shape)
+        return _propagate_vd(
+            c, b, state["wavelet"], state["src_idx"], state["rcv_idx"],
+            dt=dt, dx=dx, sponge=state["sponge"],
+        )
+
+    def _df(dm, m0, state):
+        _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "sponge": sponge,
+            "src_idx": jnp.asarray(src_idx, jnp.int32),
+            "rcv_idx": rcv_idx,
+        },
+    )
+    return Operator(j)
+
+
+# ---------------------------------------------------------------------------
+# Off-grid acquisition geometry — JetPackWaveFD's Kaiser-windowed-sinc
+# source/receiver interpolation (Hicks 2002), TPU-first: the per-time-step
+# receiver extraction is ONE static slab slice + small banded MXU matmuls
+# (a flat gather serializes at ~7 ns/element; a (nrcv × n) matmul is
+# microseconds on the MXU), and the fractional source is folded into the
+# existing dense injection mask at construction time (zero extra step cost).
+# ---------------------------------------------------------------------------
+
+
+def _offgrid_src_mask(shape, src_pos, dt, radius, dtype):
+    """Full-grid injection mask with the source's Kaiser-sinc stamp placed
+    at its (static) fractional position — built once in numpy."""
+    import numpy as np
+
+    from .sampling import kaiser_sinc_matrix_np
+
+    mask = np.zeros(tuple(shape), np.float64)
+    rows = [
+        kaiser_sinc_matrix_np(n, [float(p)], radius)[0]
+        for n, p in zip(shape, src_pos)
+    ]
+    stamp = rows[0]
+    for r in rows[1:]:
+        stamp = np.multiply.outer(stamp, r)
+    mask += stamp * (dt * dt)
+    return jnp.asarray(mask, dtype)
+
+
+def offgrid_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    src_pos: Sequence[float],
+    rcv_depth: float,
+    rcv_coords,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    sponge_width: int = 12,
+    space_order: int = 2,
+    radius: int = 4,
+    dtype=jnp.float32,
+) -> Operator:
+    """Nonlinear forward modeling with OFF-GRID acquisition: the source at
+    fractional position ``src_pos`` (ndim floats) and a receiver line/plane
+    at fractional depth ``rcv_depth`` along axis 0 with fractional
+    coordinates ``rcv_coords`` on the remaining axes (one array for 2-D, a
+    tuple of per-axis arrays for a separable 3-D plane).
+
+    In-loop extraction: ``u[iz0:iz0+2r]`` (static slice) contracted with the
+    depth's 2r sinc taps, then one banded ``(nrcv, n_ax)`` matmul per
+    remaining axis. Tangent/adjoint via jvp/vjp as for
+    :func:`wave_propagator` (the adjoint's transposed matmul scatters the
+    residual back through the same sinc stamps — Hicks interpolation is its
+    own adjoint pair)."""
+    from .sampling import kaiser_sinc_matrix, kaiser_sinc_matrix_np
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    nd = len(grid_shape)
+    sp = Space(grid_shape, dtype)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    src_mask = _offgrid_src_mask(grid_shape, src_pos, dt, radius, dtype)
+
+    # depth taps: static window [iz0, iz0+2r) clamped to the grid
+    import numpy as np
+
+    n0 = grid_shape[0]
+    iz0 = int(np.floor(rcv_depth)) - radius + 1
+    lo = max(iz0, 0)
+    hi = min(iz0 + 2 * radius, n0)
+    wz_full = kaiser_sinc_matrix_np(n0, [float(rcv_depth)], radius)[0]
+    wz = jnp.asarray(wz_full[lo:hi].astype(np.dtype(dtype)))
+
+    if nd == 2:
+        rcv_axes = (np.asarray(rcv_coords, np.float64),)
+    else:
+        rcv_axes = tuple(np.asarray(c, np.float64) for c in rcv_coords)
+    if len(rcv_axes) != nd - 1:
+        raise ValueError("rcv_coords must cover every non-depth axis")
+    Wr = tuple(
+        kaiser_sinc_matrix(grid_shape[1 + k], rcv_axes[k], radius,
+                           dtype=dtype)
+        for k in range(nd - 1)
+    )
+    out_shape = tuple(int(W.shape[0]) for W in Wr)
+    rng = Space((nt,) + out_shape, dtype)
+
+    def _extract(u, st):
+        # contract depth: (hi-lo, rest...) · (hi-lo,) -> (rest...)
+        line = jnp.tensordot(st["wz"], u[lo:hi], axes=((0,), (0,)))
+        for k, W in enumerate(st["Wr"]):
+            line = _offgrid_axis_contract(W, line, k)
+        return line
+
+    def _f(c, state):
+        return _propagate(
+            c, state["wavelet"], jnp.int32(0), None,
+            dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=1,
+            order=space_order, src_mask=state["src_mask"],
+            extract=lambda u: _extract(u, state),
+        )
+
+    def _df(dc, m0, state):
+        _, tangent = jax.jvp(lambda c: _f(c, state), (m0,), (dc,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda c: _f(c, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=sp, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "sponge": sponge,
+            "src_mask": src_mask,
+            "wz": wz,
+            "Wr": Wr,
+        },
+    )
+    return Operator(j)
+
+
+def _offgrid_axis_contract(W, u, ax):
+    v = jnp.tensordot(W, u, axes=((1,), (ax,)))
+    return jnp.moveaxis(v, 0, ax)

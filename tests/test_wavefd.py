@@ -1,0 +1,314 @@
+"""Gates for the deepened wave-equation pack (JetPackWaveFD-depth physics:
+higher-order stencils, CPML boundaries, variable density, ginsu windows).
+
+Every new operator passes the framework's mandatory gates
+(dot-product / linearization, reference ``src/Jets.jl:1211-1266``) plus a
+physics check specific to the feature (accuracy order, boundary
+reflectivity, flux symmetry)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jets_tpu as jt
+from jets_tpu.core.verify import materialize
+from jets_tpu.ops.stencil import laplacian_nd, laplacian_operator
+from jets_tpu.ops.wave import (
+    born_operator,
+    cpml_wave_propagator,
+    multishot_wave_operator,
+    vd_wave_propagator,
+    wave_propagator,
+)
+
+
+# ---------------------------------------------------------------------- #
+# higher-order Laplacians
+# ---------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("order", [4, 8])
+def test_high_order_laplacian_self_adjoint(order):
+    A = laplacian_operator((12, 13), jnp.float64, order=order)
+    m = A.dom.randn(jax.random.PRNGKey(0))
+    d = A.rng.randn(jax.random.PRNGKey(1))
+    lhs, rhs = jt.dot_product_test(A, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+    # symmetric taps + zero boundary => the dense matrix is symmetric
+    M = np.asarray(materialize(A))
+    np.testing.assert_allclose(M, M.T, rtol=0, atol=0)
+
+
+def test_laplacian_order_of_accuracy():
+    n = 400
+    h = 1.0 / n
+    t = (jnp.arange(n, dtype=jnp.float64) + 0.5) * h
+    g = lambda t: jnp.exp(-(((t - 0.5) / 0.1) ** 2))  # noqa: E731
+    f = g(t)
+    exact = jax.vmap(jax.grad(jax.grad(g)))(t)
+    errs = {}
+    for order, hw in [(2, 1), (4, 2), (8, 4)]:
+        num = laplacian_nd(f, order=order) / h**2
+        sl = slice(hw + 4, -(hw + 4))
+        errs[order] = float(jnp.max(jnp.abs(num[sl] - exact[sl])))
+    assert errs[4] < 1e-2 * errs[2]
+    assert errs[8] < 1e-4 * errs[4]
+
+
+def test_order2_default_unchanged():
+    # the flagship's fused/composed bit-exactness depends on the default
+    # path producing the exact original floating-point summation order
+    x = jax.random.normal(jax.random.PRNGKey(0), (17, 23))
+    xp = jnp.pad(x, 1)
+    old = (-2.0 * 2) * x
+    for ax in range(2):
+        lo = tuple(slice(0, -2) if i == ax else slice(1, -1)
+                   for i in range(2))
+        hi = tuple(slice(2, None) if i == ax else slice(1, -1)
+                   for i in range(2))
+        old = old + xp[lo] + xp[hi]
+    assert bool(jnp.all(old == laplacian_nd(x)))
+
+
+def test_high_order_propagator_gates():
+    F = wave_propagator(
+        (24, 24), nt=48, dt=0.0006, dx=10.0, freq=18.0,
+        src_idx=24 * 12 + 12, sponge_width=4, space_order=8,
+        dtype=jnp.float64,
+    )
+    c0 = jnp.full((24, 24), 2000.0, jnp.float64)
+    assert float(jnp.max(jnp.abs(F(c0)))) > 0
+    J = born_operator(F, c0)
+    m = J.dom.randn(jax.random.PRNGKey(0))
+    d = J.rng.randn(jax.random.PRNGKey(1))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------- #
+# CPML absorbing boundaries
+# ---------------------------------------------------------------------- #
+
+
+def _boundary_energy(prop_kind, grid=(64, 64), width=10):
+    """Fire a pulse at the center, run long enough for the wavefront to hit
+    the boundary and reflect back, then measure the energy left in the
+    interior — pure leftover = reflections (+ residual coda)."""
+    n = grid[0]
+    kw = dict(nt=300, dt=0.001, dx=10.0, freq=15.0,
+              src_idx=n * (n // 2) + n // 2,
+              rcv_idx=jnp.arange(n * n, dtype=jnp.int32),
+              dtype=jnp.float64)
+    if prop_kind == "cpml":
+        F = cpml_wave_propagator(grid, pml_width=width, cmax=2000.0, **kw)
+    else:
+        F = wave_propagator(grid, sponge_width=width, **kw)
+    c = jnp.full(grid, 2000.0, jnp.float64)
+    traces = F(c)  # (nt, n*n) full wavefield snapshots
+    # incident amplitude: the strongest wavefield value ever seen
+    peak = float(jnp.max(jnp.abs(traces)))
+    # after ~2 crossings everything should have left the domain
+    final = traces[-1].reshape(grid)
+    inner = final[width + 4:-(width + 4), width + 4:-(width + 4)]
+    return float(jnp.max(jnp.abs(inner))) / peak
+
+
+def test_cpml_absorbs_better_than_sponge():
+    # measured: cpml 0.0014, sponge 0.148 at these settings
+    r_cpml = _boundary_energy("cpml")
+    r_sponge = _boundary_energy("sponge")
+    assert r_cpml < 5e-3              # <0.5% residual reflection amplitude
+    assert r_cpml < 0.05 * r_sponge   # and beats the sponge by >20x
+
+
+def test_cpml_born_dot_product_gate():
+    F = cpml_wave_propagator(
+        (20, 20), nt=40, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=20 * 10 + 10, pml_width=4, cmax=2500.0, dtype=jnp.float64,
+    )
+    c0 = jnp.full((20, 20), 2000.0, jnp.float64)
+    J = born_operator(F, c0)
+    m = J.dom.randn(jax.random.PRNGKey(2))
+    d = J.rng.randn(jax.random.PRNGKey(3))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_cpml_linearization_taylor_decay():
+    F = cpml_wave_propagator(
+        (20, 20), nt=40, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=20 * 10 + 10, pml_width=4, cmax=2500.0, dtype=jnp.float64,
+    )
+    c0 = jnp.full((20, 20), 2000.0, jnp.float64)
+    dm = 50.0 * jt.Space((20, 20), jnp.float64).randn(jax.random.PRNGKey(4))
+    obs, exp = jt.linearization_test(F, c0, delta_m=dm,
+                                     mu=(1.0, 0.5, 0.25, 0.125))
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
+
+
+# ---------------------------------------------------------------------- #
+# variable density (two-parameter block domain)
+# ---------------------------------------------------------------------- #
+
+
+def _vd_propagator():
+    return vd_wave_propagator(
+        (20, 20), nt=40, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=20 * 10 + 10, sponge_width=4, dtype=jnp.float64,
+    )
+
+
+def _vd_point():
+    c = jnp.full((20, 20), 2000.0, jnp.float64)
+    b = jnp.full((20, 20), 1.0 / 1000.0, jnp.float64)  # rho = 1000
+    m = _vd_propagator().dom.zeros()
+    return m.setblock(0, c).setblock(1, b)
+
+
+def test_vd_block_domain_and_signal():
+    F = _vd_propagator()
+    from jets_tpu.core.blockspace import BlockSpace
+
+    assert isinstance(F.dom, BlockSpace)
+    d = F(_vd_point())
+    assert d.shape == F.rng.shape
+    assert float(jnp.max(jnp.abs(d))) > 0
+
+
+def test_vd_jacobian_dot_product_gate():
+    F = _vd_propagator()
+    J = F.linearize(_vd_point())
+    m = J.dom.randn(jax.random.PRNGKey(5))
+    d = J.rng.randn(jax.random.PRNGKey(6))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_vd_linearization_taylor_decay():
+    F = _vd_propagator()
+    m0 = _vd_point()
+    dm = F.dom.randn(jax.random.PRNGKey(7))
+    dm = dm.setblock(0, 50.0 * dm.getblock(0))
+    dm = dm.setblock(1, 1e-5 * dm.getblock(1))
+    obs, exp = jt.linearization_test(F, m0, delta_m=dm,
+                                     mu=(1.0, 0.5, 0.25, 0.125))
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
+
+
+def test_div_b_grad_is_symmetric():
+    """The pinned-b spatial operator -(D+)^T diag(b)(D+) materializes to a
+    symmetric (negative semidefinite) matrix."""
+    from jets_tpu.core.jet import Jet, LinearOperator
+    from jets_tpu.ops.wave import _div_b_grad
+
+    sp = jt.Space((6, 7), jnp.float64)
+    b = 0.5 + jt.Space((6, 7), jnp.float64).rand(jax.random.PRNGKey(8))
+
+    def _df(dm, m0, state):
+        return _div_b_grad(dm, state["b"], jnp.float64(1.0))
+
+    A = LinearOperator(Jet(dom=sp, rng=sp, df=_df, dft="self",
+                           state={"b": b}))
+    M = np.asarray(materialize(A))
+    np.testing.assert_allclose(M, M.T, rtol=0, atol=1e-14)
+    w = np.linalg.eigvalsh(M)
+    assert w.max() <= 1e-12  # negative semidefinite
+
+
+# ---------------------------------------------------------------------- #
+# ginsu windows (per-shot model subsetting)
+# ---------------------------------------------------------------------- #
+
+
+def test_ginsu_matches_explicit_slice_and_gates():
+    grid = (24, 24)
+    win = (12, 12)
+    corners = jnp.array([[0, 0], [0, 12], [12, 0], [12, 12]], jnp.int32)
+    src = jnp.full((4,), 12 * 6 + 6, jnp.int32)  # window-relative center
+    rcv = jnp.arange(0, 144, 3, dtype=jnp.int32)
+    kw = dict(nt=24, dt=0.0008, dx=10.0, freq=18.0, sponge_width=3,
+              dtype=jnp.float64)
+    F = multishot_wave_operator(
+        grid, src, rcv_idx=rcv, window_corners=corners, window_shape=win,
+        **kw)
+    c = 2000.0 + 100.0 * jt.Space(grid, jnp.float64).rand(
+        jax.random.PRNGKey(9))
+    d = F(c)
+    assert d.shape[0] == 4
+    # each shot must equal a single propagator run on the sliced window
+    for k in range(4):
+        i0, j0 = (int(corners[k, 0]), int(corners[k, 1]))
+        Fw = wave_propagator(
+            win, src_idx=12 * 6 + 6, rcv_idx=rcv, sponge_width=3,
+            nt=24, dt=0.0008, freq=18.0, dtype=jnp.float64)
+        dw = Fw(c[i0:i0 + 12, j0:j0 + 12])
+        np.testing.assert_allclose(np.asarray(d[k]), np.asarray(dw),
+                                   rtol=1e-12)
+    # adjoint gate through the windowed stack (scatter-add placement)
+    J = F.linearize(c)
+    m = J.dom.randn(jax.random.PRNGKey(10))
+    dd = J.rng.randn(jax.random.PRNGKey(11))
+    lhs, rhs = jt.dot_product_test(J, m, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------- #
+# off-grid acquisition (Kaiser-sinc source/receiver geometry)
+# ---------------------------------------------------------------------- #
+
+
+def test_offgrid_integer_positions_match_ongrid():
+    """Integer src/rcv coordinates collapse the sinc stamps to one-hots, so
+    the off-grid propagator must reproduce the on-grid one exactly."""
+    from jets_tpu.ops.wave import offgrid_wave_propagator
+
+    n = 24
+    kw = dict(nt=40, dt=0.0008, dx=10.0, freq=18.0, sponge_width=4,
+              dtype=jnp.float64)
+    rcv_cols = np.arange(4, 20, 2)
+    Foff = offgrid_wave_propagator(
+        (n, n), src_pos=(12.0, 12.0), rcv_depth=6.0,
+        rcv_coords=rcv_cols.astype(np.float64), **kw)
+    Fon = wave_propagator(
+        (n, n), src_idx=n * 12 + 12,
+        rcv_idx=jnp.asarray(n * 6 + rcv_cols, jnp.int32), **kw)
+    c = jnp.full((n, n), 2000.0, jnp.float64)
+    np.testing.assert_allclose(np.asarray(Foff(c)), np.asarray(Fon(c)),
+                               rtol=1e-12, atol=1e-18)
+
+
+def test_offgrid_born_gate_and_fractional_signal():
+    from jets_tpu.ops.wave import offgrid_wave_propagator
+
+    n = 24
+    F = offgrid_wave_propagator(
+        (n, n), src_pos=(11.3, 12.6), rcv_depth=5.45,
+        rcv_coords=np.linspace(4.2, 19.7, 9), nt=40, dt=0.0008, dx=10.0,
+        freq=18.0, sponge_width=4, dtype=jnp.float64)
+    c0 = jnp.full((n, n), 2000.0, jnp.float64)
+    d = F(c0)
+    assert d.shape == (40, 9)
+    assert float(jnp.max(jnp.abs(d))) > 0
+    J = born_operator(F, c0)
+    m = J.dom.randn(jax.random.PRNGKey(12))
+    dd = J.rng.randn(jax.random.PRNGKey(13))
+    lhs, rhs = jt.dot_product_test(J, m, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_offgrid_3d_plane():
+    from jets_tpu.ops.wave import offgrid_wave_propagator
+
+    F = offgrid_wave_propagator(
+        (12, 14, 16), src_pos=(6.5, 7.25, 8.0), rcv_depth=3.5,
+        rcv_coords=(np.array([4.5, 7.0, 9.5]), np.array([5.25, 10.75])),
+        nt=24, dt=0.0008, dx=10.0, freq=18.0, sponge_width=3,
+        dtype=jnp.float64)
+    c0 = jnp.full((12, 14, 16), 2000.0, jnp.float64)
+    d = F(c0)
+    assert d.shape == (24, 3, 2)
+    J = born_operator(F, c0)
+    m = J.dom.randn(jax.random.PRNGKey(14))
+    dd = J.rng.randn(jax.random.PRNGKey(15))
+    lhs, rhs = jt.dot_product_test(J, m, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
