@@ -63,6 +63,7 @@ from .wave import (
     multishot_wave_operator,
     offgrid_wave_propagator,
     vd_wave_propagator,
+    vti_wave_propagator,
     wave_propagator,
 )
 from .wavelet import WAVELETS, wavelet_operator
@@ -129,5 +130,6 @@ __all__ = [
     "multishot_wave_operator",
     "offgrid_wave_propagator",
     "vd_wave_propagator",
+    "vti_wave_propagator",
     "wave_propagator",
 ]

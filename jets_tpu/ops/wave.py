@@ -45,6 +45,7 @@ __all__ = [
     "vd_wave_propagator",
     "cpml_wave_propagator",
     "offgrid_wave_propagator",
+    "vti_wave_propagator",
 ]
 
 
@@ -77,12 +78,36 @@ def _ricker(nt: int, dt: float, freq: float, dtype=jnp.float32):
     return ((1 - 2 * a) * jnp.exp(-a)).astype(dtype)
 
 
+def _scan_remat(step, carry, xs, remat_blocks: int):
+    """``lax.scan`` with blocked rematerialization — the TPU-native stand-in
+    for JetPackWaveFD's compressed wavefield serialization: instead of
+    writing forward wavefields to disk for the adjoint pass, time steps are
+    grouped into ``remat_blocks`` checkpointed segments, so reverse-mode
+    stores O(remat_blocks + nt/remat_blocks) wavefields (minimized at
+    ``remat_blocks ≈ √nt``) and recomputes inside each segment, instead of
+    storing all ``nt`` step carries."""
+    nt = int(xs.shape[0])
+    if remat_blocks <= 1 or nt % remat_blocks != 0:
+        return lax.scan(jax.checkpoint(step, prevent_cse=False), carry, xs)
+    blk = nt // remat_blocks
+    xs_b = xs.reshape((remat_blocks, blk) + xs.shape[1:])
+    inner = jax.checkpoint(step, prevent_cse=False)
+
+    @jax.checkpoint
+    def outer(carry, xb):
+        return lax.scan(inner, carry, xb)
+
+    carry, traces = lax.scan(outer, carry, xs_b)
+    return carry, traces.reshape((nt,) + traces.shape[2:])
+
+
 def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
                remat_blocks, order: int = 2, src_mask=None, extract=None):
     """Leapfrog time stepping; returns receiver traces (nt, nrcv).
 
-    ``jax.checkpoint`` wraps blocks of steps so reverse-mode memory is
-    O(grid * nt / remat_blocks) instead of O(grid * nt). ``order`` is the
+    ``remat_blocks`` groups time steps into checkpointed segments so
+    reverse-mode memory is O(grid · (remat_blocks + nt/remat_blocks))
+    instead of O(grid · nt) — see :func:`_scan_remat`. ``order`` is the
     spatial accuracy of the Laplacian (2/4/8 — the JetPackWaveFD ladder).
     ``src_mask``/``extract`` override the default on-grid point injection /
     flat-gather extraction (used by the off-grid Kaiser-sinc geometry).
@@ -114,14 +139,12 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         rec = extract(u_next)
         return (u, u_next), rec
 
-    step = jax.checkpoint(step, prevent_cse=False)
-
     # seed the carry with a src-derived zero so its batching/varying type
     # already matches the loop body's output under vmap/shard_map (the
     # source mask is per-shot data)
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
-    (_, _), traces = lax.scan(step, (u0, u0), src_wavelet)
+    (_, _), traces = _scan_remat(step, (u0, u0), src_wavelet, remat_blocks)
     return traces
 
 
@@ -136,6 +159,7 @@ def wave_propagator(
     rcv_idx=None,
     sponge_width: int = 12,
     space_order: int = 2,
+    remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward-modeling operator ``F: velocity c → traces d``.
@@ -159,8 +183,8 @@ def wave_propagator(
     def _f(c, state):
         return _propagate(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
-            dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=1,
-            order=space_order,
+            dt=dt, dx=dx, sponge=state["sponge"],
+            remat_blocks=remat_blocks, order=space_order,
         )
 
     def _df(dc, m0, state):
@@ -213,6 +237,7 @@ def multishot_wave_operator(
     rcv_idx=None,
     sponge_width: int = 12,
     space_order: int = 2,
+    remat_blocks: int = 1,
     window_corners=None,
     window_shape: Optional[Sequence[int]] = None,
     mesh=None,
@@ -267,7 +292,7 @@ def multishot_wave_operator(
             c = lax.dynamic_slice(c, starts, prop_shape)
         return _propagate(
             c, bs["wavelet"], bs["src"], bs["rcv"],
-            dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=1,
+            dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=remat_blocks,
             order=space_order,
         )
 
@@ -351,7 +376,7 @@ def _cpml_profiles(shape, width, dt, dx, cmax, f0, R=1e-3, dtype=jnp.float32):
 
 
 def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
-                    a_prof, b_prof, order: int = 2):
+                    a_prof, b_prof, order: int = 2, remat_blocks: int = 1):
     """Leapfrog stepping with CPML memory-variable boundaries. The carry is
     ``(u_prev, u, psi_0..psi_{nd-1}, zeta_0..zeta_{nd-1})`` — note this is a
     ≥4-large-carry scan body (see the de-fusion caveat in CLAUDE.md): CPML
@@ -389,11 +414,11 @@ def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
         rec = u_next.reshape(-1)[rcv_idx]
         return (u, u_next, tuple(new_psis), tuple(new_zetas)), rec
 
-    step = jax.checkpoint(step, prevent_cse=False)
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
     z = tuple(jnp.zeros(shape, c.dtype) for _ in range(nd))
-    (_, _, _, _), traces = lax.scan(step, (u0, u0, z, z), src_wavelet)
+    (_, _, _, _), traces = _scan_remat(step, (u0, u0, z, z), src_wavelet,
+                                       remat_blocks)
     return traces
 
 
@@ -408,6 +433,7 @@ def cpml_wave_propagator(
     rcv_idx=None,
     pml_width: int = 12,
     cmax: float = 4000.0,
+    remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward modeling ``F: c → d`` with CPML absorbing
@@ -434,6 +460,7 @@ def cpml_wave_propagator(
         return _propagate_cpml(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, a_prof=state["a_prof"], b_prof=state["b_prof"],
+            remat_blocks=remat_blocks,
         )
 
     def _df(dc, m0, state):
@@ -493,7 +520,8 @@ def _div_b_grad(u, b, inv_dx2):
     return out
 
 
-def _propagate_vd(c, b, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge):
+def _propagate_vd(c, b, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
+                  remat_blocks: int = 1):
     """Variable-density leapfrog: p_tt = kappa * div(b grad p) + kappa s."""
     shape = c.shape
     kappa = (c * c) / b
@@ -512,10 +540,9 @@ def _propagate_vd(c, b, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge):
         rec = p_next.reshape(-1)[rcv_idx]
         return (p, p_next), rec
 
-    step = jax.checkpoint(step, prevent_cse=False)
     zero = (src_idx * 0).astype(c.dtype)
     p0 = jnp.zeros(shape, c.dtype) + zero
-    (_, _), traces = lax.scan(step, (p0, p0), src_wavelet)
+    (_, _), traces = _scan_remat(step, (p0, p0), src_wavelet, remat_blocks)
     return traces
 
 
@@ -529,6 +556,7 @@ def vd_wave_propagator(
     src_idx: int = 0,
     rcv_idx=None,
     sponge_width: int = 12,
+    remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
     """Two-parameter variable-density forward modeling
@@ -558,7 +586,7 @@ def vd_wave_propagator(
         b = m.getblock(1).reshape(grid_shape)
         return _propagate_vd(
             c, b, state["wavelet"], state["src_idx"], state["rcv_idx"],
-            dt=dt, dx=dx, sponge=state["sponge"],
+            dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=remat_blocks,
         )
 
     def _df(dm, m0, state):
@@ -624,6 +652,7 @@ def offgrid_wave_propagator(
     sponge_width: int = 12,
     space_order: int = 2,
     radius: int = 4,
+    remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward modeling with OFF-GRID acquisition: the source at
@@ -681,7 +710,8 @@ def offgrid_wave_propagator(
     def _f(c, state):
         return _propagate(
             c, state["wavelet"], jnp.int32(0), None,
-            dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=1,
+            dt=dt, dx=dx, sponge=state["sponge"],
+            remat_blocks=remat_blocks,
             order=space_order, src_mask=state["src_mask"],
             extract=lambda u: _extract(u, state),
         )
@@ -711,3 +741,117 @@ def offgrid_wave_propagator(
 def _offgrid_axis_contract(W, u, ax):
     v = jnp.tensordot(W, u, axes=((1,), (ax,)))
     return jnp.moveaxis(v, 0, ax)
+
+
+# ---------------------------------------------------------------------------
+# VTI anisotropy — JetPackWaveFD's pseudo-acoustic VTI physics (Duveneck/
+# Alkhalifah coupled second-order system). Model = (c, epsilon, delta): a
+# THREE-block vector domain. With epsilon = delta = 0 and matched initial/
+# boundary conditions the p and q fields coincide and the system reduces
+# exactly to the isotropic propagator (pinned by the test suite).
+# ---------------------------------------------------------------------------
+
+
+def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
+                   sponge, remat_blocks: int = 1):
+    """Coupled leapfrog for the pseudo-acoustic VTI system (axis 0 = z):
+
+        p_tt = c² [(1+2ε) Lh(p) + √(1+2δ) ∂zz q] + s
+        q_tt = c² [√(1+2δ) Lh(p) + ∂zz q] + s
+
+    with ``Lh`` the horizontal Laplacian (all axes but 0)."""
+    shape = c.shape
+    nd = c.ndim
+    c2dt2 = (c * c) * (dt * dt)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
+    ah = 1.0 + 2.0 * eps
+    av = jnp.sqrt(1.0 + 2.0 * delta)
+
+    size = 1
+    for s in shape:
+        size *= int(s)
+    src_mask = (
+        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
+    )
+
+    def step(carry, s_t):
+        p_prev, p, q_prev, q = carry
+        lh = _d2_axis(p, 1, inv_dx2)
+        for ax in range(2, nd):
+            lh = lh + _d2_axis(p, ax, inv_dx2)
+        dzz = _d2_axis(q, 0, inv_dx2)
+        p_next = (2.0 * p - p_prev + c2dt2 * (ah * lh + av * dzz)) * sponge \
+            + s_t * src_mask
+        q_next = (2.0 * q - q_prev + c2dt2 * (av * lh + dzz)) * sponge \
+            + s_t * src_mask
+        rec = p_next.reshape(-1)[rcv_idx]
+        return (p, p_next, q, q_next), rec
+
+    zero = (src_idx * 0).astype(c.dtype)
+    u0 = jnp.zeros(shape, c.dtype) + zero
+    (_, _, _, _), traces = _scan_remat(
+        step, (u0, u0, u0, u0), src_wavelet, remat_blocks)
+    return traces
+
+
+def vti_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    src_idx: int = 0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    remat_blocks: int = 1,
+    dtype=jnp.float32,
+) -> Operator:
+    """Three-parameter VTI anisotropic forward modeling
+    ``F: (c, ε, δ) → traces`` — the JetPackWaveFD pseudo-acoustic VTI
+    physics on a ``BlockSpace([grid, grid, grid])`` domain (vertical
+    velocity + Thomsen parameters). Tangent/adjoint via jvp/vjp through the
+    rematerialized coupled scan; the adjoint returns the (δc, δε, δδ)
+    gradient triple in one reverse pass. With ``ε = δ = 0`` the system
+    reduces exactly to :func:`wave_propagator`'s isotropic physics (the
+    suite pins the reduction to roundoff)."""
+    from ..core.blockspace import BlockSpace
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp, gsp, gsp])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+
+    def _f(m, state):
+        return _propagate_vti(
+            m.getblock(0), m.getblock(1), m.getblock(2),
+            state["wavelet"], state["src_idx"], state["rcv_idx"],
+            dt=dt, dx=dx, sponge=state["sponge"],
+            remat_blocks=remat_blocks,
+        )
+
+    def _df(dm, m0, state):
+        _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "sponge": sponge,
+            "src_idx": jnp.asarray(src_idx, jnp.int32),
+            "rcv_idx": rcv_idx,
+        },
+    )
+    return Operator(j)

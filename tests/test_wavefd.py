@@ -312,3 +312,94 @@ def test_offgrid_3d_plane():
     dd = J.rng.randn(jax.random.PRNGKey(15))
     lhs, rhs = jt.dot_product_test(J, m, dd)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------- #
+# blocked rematerialization (wavefield-storage stand-in)
+# ---------------------------------------------------------------------- #
+
+
+def test_remat_blocks_value_and_gradient_equivalence():
+    """Blocked checkpointing changes memory, not values: forward traces are
+    bit-identical and the FWI gradient matches to roundoff."""
+    kw = dict(nt=48, dt=0.0008, dx=10.0, freq=18.0, src_idx=24 * 12 + 12,
+              sponge_width=4, dtype=jnp.float64)
+    F1 = wave_propagator((24, 24), remat_blocks=1, **kw)
+    F6 = wave_propagator((24, 24), remat_blocks=6, **kw)
+    c0 = 2000.0 + 50.0 * jt.Space((24, 24), jnp.float64).rand(
+        jax.random.PRNGKey(16))
+    d1, d6 = F1(c0), F6(c0)
+    assert bool(jnp.all(d1 == d6))
+
+    d_obs = d1 + 0.01 * jnp.std(d1)
+
+    def loss(F, c):
+        r = F(c) - d_obs
+        return 0.5 * jnp.vdot(r, r).real
+
+    g1 = jax.grad(lambda c: loss(F1, c))(c0)
+    g6 = jax.grad(lambda c: loss(F6, c))(c0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g6), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------- #
+# VTI anisotropy (three-parameter block domain)
+# ---------------------------------------------------------------------- #
+
+
+def _vti_propagator():
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    return vti_wave_propagator(
+        (20, 20), nt=40, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=20 * 10 + 10, sponge_width=4, dtype=jnp.float64,
+    )
+
+
+def _vti_point(eps=0.1, delta=0.05):
+    F = _vti_propagator()
+    m = F.dom.zeros()
+    m = m.setblock(0, jnp.full((20, 20), 2000.0, jnp.float64))
+    m = m.setblock(1, jnp.full((20, 20), eps, jnp.float64))
+    return m.setblock(2, jnp.full((20, 20), delta, jnp.float64))
+
+
+def test_vti_reduces_to_isotropic():
+    """epsilon = delta = 0 collapses the coupled system to the isotropic
+    wave equation: traces must match wave_propagator to roundoff."""
+    F = _vti_propagator()
+    d_vti = F(_vti_point(eps=0.0, delta=0.0))
+    Fi = wave_propagator(
+        (20, 20), nt=40, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=20 * 10 + 10, sponge_width=4, dtype=jnp.float64)
+    d_iso = Fi(jnp.full((20, 20), 2000.0, jnp.float64))
+    np.testing.assert_allclose(np.asarray(d_vti), np.asarray(d_iso),
+                               rtol=1e-10, atol=1e-22)
+
+
+def test_vti_anisotropy_changes_kinematics():
+    d0 = _vti_propagator()(_vti_point(eps=0.0, delta=0.0))
+    d1 = _vti_propagator()(_vti_point(eps=0.2, delta=0.1))
+    assert float(jnp.max(jnp.abs(d1 - d0))) > 1e-3 * float(
+        jnp.max(jnp.abs(d0)))
+
+
+def test_vti_jacobian_dot_product_gate():
+    F = _vti_propagator()
+    J = F.linearize(_vti_point())
+    m = J.dom.randn(jax.random.PRNGKey(17))
+    d = J.rng.randn(jax.random.PRNGKey(18))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_vti_linearization_taylor_decay():
+    F = _vti_propagator()
+    m0 = _vti_point()
+    dm = F.dom.randn(jax.random.PRNGKey(19))
+    dm = dm.setblock(0, 50.0 * dm.getblock(0))
+    dm = dm.setblock(1, 0.02 * dm.getblock(1))
+    dm = dm.setblock(2, 0.02 * dm.getblock(2))
+    obs, exp = jt.linearization_test(F, m0, delta_m=dm,
+                                     mu=(1.0, 0.5, 0.25, 0.125))
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
