@@ -59,6 +59,7 @@ from .sampling import (
 )
 from .wave import (
     born_operator,
+    tti_wave_propagator,
     cpml_wave_propagator,
     multishot_wave_operator,
     offgrid_wave_propagator,
@@ -129,6 +130,7 @@ __all__ = [
     "cpml_wave_propagator",
     "multishot_wave_operator",
     "offgrid_wave_propagator",
+    "tti_wave_propagator",
     "vd_wave_propagator",
     "vti_wave_propagator",
     "wave_propagator",

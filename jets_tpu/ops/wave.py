@@ -46,6 +46,7 @@ __all__ = [
     "cpml_wave_propagator",
     "offgrid_wave_propagator",
     "vti_wave_propagator",
+    "tti_wave_propagator",
 ]
 
 
@@ -831,6 +832,132 @@ def vti_wave_propagator(
     def _f(m, state):
         return _propagate_vti(
             m.getblock(0), m.getblock(1), m.getblock(2),
+            state["wavelet"], state["src_idx"], state["rcv_idx"],
+            dt=dt, dx=dx, sponge=state["sponge"],
+            remat_blocks=remat_blocks,
+        )
+
+    def _df(dm, m0, state):
+        _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "sponge": sponge,
+            "src_idx": jnp.asarray(src_idx, jnp.int32),
+            "rcv_idx": rcv_idx,
+        },
+    )
+    return Operator(j)
+
+
+# ---------------------------------------------------------------------------
+# TTI anisotropy — tilted transversely isotropic pseudo-acoustics (2-D):
+# the VTI coupled system with its derivative operators rotated by the local
+# tilt angle theta of the symmetry axis. Model = (c, epsilon, delta, theta):
+# a FOUR-block domain. theta = 0 reduces exactly to the VTI propagator
+# (pinned by the suite). The rotated operators
+#     H = cos²θ ∂xx + sin²θ ∂zz − sin2θ ∂xz     (normal to symmetry axis)
+#     V = sin²θ ∂xx + cos²θ ∂zz + sin2θ ∂xz     (along the symmetry axis)
+# satisfy H + V = ∇² identically. Like all production pseudo-acoustic TTI
+# schemes this is conditionally stable (requires ε ≥ δ and smooth θ).
+# ---------------------------------------------------------------------------
+
+
+def _dxz(u, inv_4dx2):
+    """Mixed second derivative ∂²/∂z∂x (2-D), central, zero boundary."""
+    up = jnp.pad(u, 1)
+    return (up[2:, 2:] - up[2:, :-2] - up[:-2, 2:] + up[:-2, :-2]) * inv_4dx2
+
+
+def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
+                   dt, dx, sponge, remat_blocks: int = 1):
+    if c.ndim != 2:
+        raise ValueError("tti propagator is 2-D (tilt in the x-z plane)")
+    shape = c.shape
+    c2dt2 = (c * c) * (dt * dt)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
+    inv_4dx2 = jnp.asarray(1.0 / (4.0 * dx * dx), c.dtype)
+    ah = 1.0 + 2.0 * eps
+    av = jnp.sqrt(1.0 + 2.0 * delta)
+    ct2 = jnp.cos(theta) ** 2
+    st2 = jnp.sin(theta) ** 2
+    s2t = jnp.sin(2.0 * theta)
+
+    size = int(shape[0]) * int(shape[1])
+    src_mask = (
+        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
+    )
+
+    def step(carry, s_t):
+        p_prev, p, q_prev, q = carry
+        # rotated operators on each field
+        pxx = _d2_axis(p, 1, inv_dx2)
+        pzz = _d2_axis(p, 0, inv_dx2)
+        pxz = _dxz(p, inv_4dx2)
+        qxx = _d2_axis(q, 1, inv_dx2)
+        qzz = _d2_axis(q, 0, inv_dx2)
+        qxz = _dxz(q, inv_4dx2)
+        Hp = ct2 * pxx + st2 * pzz - s2t * pxz
+        Vq = st2 * qxx + ct2 * qzz + s2t * qxz
+        p_next = (2.0 * p - p_prev + c2dt2 * (ah * Hp + av * Vq)) * sponge \
+            + s_t * src_mask
+        q_next = (2.0 * q - q_prev + c2dt2 * (av * Hp + Vq)) * sponge \
+            + s_t * src_mask
+        rec = p_next.reshape(-1)[rcv_idx]
+        return (p, p_next, q, q_next), rec
+
+    zero = (src_idx * 0).astype(c.dtype)
+    u0 = jnp.zeros(shape, c.dtype) + zero
+    (_, _, _, _), traces = _scan_remat(
+        step, (u0, u0, u0, u0), src_wavelet, remat_blocks)
+    return traces
+
+
+def tti_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    src_idx: int = 0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    remat_blocks: int = 1,
+    dtype=jnp.float32,
+) -> Operator:
+    """Four-parameter TTI anisotropic forward modeling (2-D)
+    ``F: (c, ε, δ, θ) → traces`` — JetPackWaveFD's tilted-TI physics.
+    Domain: ``BlockSpace([grid] * 4)`` (vertical velocity, Thomsen ε/δ,
+    tilt θ in radians). ``θ = 0`` reduces exactly to
+    :func:`vti_wave_propagator` (pinned). Conditionally stable like all
+    pseudo-acoustic TTI schemes: keep ``ε ≥ δ`` and θ smooth."""
+    from ..core.blockspace import BlockSpace
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    if len(grid_shape) != 2:
+        raise ValueError("tti_wave_propagator is 2-D")
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp, gsp, gsp, gsp])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+
+    def _f(m, state):
+        return _propagate_tti(
+            m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"],
             remat_blocks=remat_blocks,

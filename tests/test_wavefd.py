@@ -403,3 +403,62 @@ def test_vti_linearization_taylor_decay():
     obs, exp = jt.linearization_test(F, m0, delta_m=dm,
                                      mu=(1.0, 0.5, 0.25, 0.125))
     np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
+
+
+# ---------------------------------------------------------------------- #
+# TTI anisotropy (four-parameter block domain, 2-D)
+# ---------------------------------------------------------------------- #
+
+
+def _tti_propagator():
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    return tti_wave_propagator(
+        (20, 20), nt=40, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=20 * 10 + 10, sponge_width=4, dtype=jnp.float64,
+    )
+
+
+def _tti_point(eps=0.1, delta=0.05, theta=0.0):
+    F = _tti_propagator()
+    m = F.dom.zeros()
+    m = m.setblock(0, jnp.full((20, 20), 2000.0, jnp.float64))
+    m = m.setblock(1, jnp.full((20, 20), eps, jnp.float64))
+    m = m.setblock(2, jnp.full((20, 20), delta, jnp.float64))
+    return m.setblock(3, jnp.full((20, 20), theta, jnp.float64))
+
+
+def test_tti_reduces_to_vti_at_zero_tilt():
+    d_tti = _tti_propagator()(_tti_point(theta=0.0))
+    d_vti = _vti_propagator()(_vti_point(eps=0.1, delta=0.05))
+    np.testing.assert_allclose(np.asarray(d_tti), np.asarray(d_vti),
+                               rtol=1e-12, atol=1e-24)
+
+
+def test_tti_tilt_changes_kinematics():
+    d0 = _tti_propagator()(_tti_point(theta=0.0))
+    d1 = _tti_propagator()(_tti_point(theta=0.5))
+    assert float(jnp.max(jnp.abs(d1 - d0))) > 1e-3 * float(
+        jnp.max(jnp.abs(d0)))
+
+
+def test_tti_jacobian_dot_product_gate():
+    F = _tti_propagator()
+    J = F.linearize(_tti_point(theta=0.3))
+    m = J.dom.randn(jax.random.PRNGKey(20))
+    d = J.rng.randn(jax.random.PRNGKey(21))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_tti_linearization_taylor_decay():
+    F = _tti_propagator()
+    m0 = _tti_point(theta=0.3)
+    dm = F.dom.randn(jax.random.PRNGKey(22))
+    dm = dm.setblock(0, 50.0 * dm.getblock(0))
+    dm = dm.setblock(1, 0.02 * dm.getblock(1))
+    dm = dm.setblock(2, 0.02 * dm.getblock(2))
+    dm = dm.setblock(3, 0.02 * dm.getblock(3))
+    obs, exp = jt.linearization_test(F, m0, delta_m=dm,
+                                     mu=(1.0, 0.5, 0.25, 0.125))
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
