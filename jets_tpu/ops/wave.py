@@ -333,22 +333,48 @@ def multishot_wave_operator(
 # ---------------------------------------------------------------------------
 
 
-def _d1_axis(x, ax, inv_2dx):
-    """Central first derivative along ``ax`` with zero boundary."""
-    nd = x.ndim
-    xp = jnp.pad(x, tuple((1, 1) if i == ax else (0, 0) for i in range(nd)))
-    lo = tuple(slice(0, -2) if i == ax else slice(None) for i in range(nd))
-    hi = tuple(slice(2, None) if i == ax else slice(None) for i in range(nd))
-    return (xp[hi] - xp[lo]) * inv_2dx
+# central first-derivative coefficients: du/dx = sum_s c_s (u[i+s] - u[i-s]) / h
+_D1_COEFFS = {
+    2: (0.5,),
+    4: (2.0 / 3.0, -1.0 / 12.0),
+    8: (4.0 / 5.0, -1.0 / 5.0, 4.0 / 105.0, -1.0 / 280.0),
+}
 
 
-def _d2_axis(x, ax, inv_dx2):
-    """Second derivative along ``ax`` (2nd order), zero boundary."""
+def _axslice(nd, ax, hw, s):
+    """Slices of an array padded by ``hw`` along ``ax`` only, offset ``s``."""
+    return tuple(
+        slice(hw + s, (s - hw) or None) if i == ax else slice(None)
+        for i in range(nd)
+    )
+
+
+def _d1_axis(x, ax, inv_dx, order: int = 2):
+    """Central first derivative along ``ax`` (order 2/4/8), zero boundary."""
+    cs = _D1_COEFFS[order]
+    hw = len(cs)
     nd = x.ndim
-    xp = jnp.pad(x, tuple((1, 1) if i == ax else (0, 0) for i in range(nd)))
-    lo = tuple(slice(0, -2) if i == ax else slice(None) for i in range(nd))
-    hi = tuple(slice(2, None) if i == ax else slice(None) for i in range(nd))
-    return (xp[lo] + xp[hi] - 2.0 * x) * inv_dx2
+    xp = jnp.pad(x, tuple((hw, hw) if i == ax else (0, 0) for i in range(nd)))
+    out = None
+    for s, c in enumerate(cs, start=1):
+        term = c * (xp[_axslice(nd, ax, hw, s)] - xp[_axslice(nd, ax, hw, -s)])
+        out = term if out is None else out + term
+    return out * inv_dx
+
+
+def _d2_axis(x, ax, inv_dx2, order: int = 2):
+    """Second derivative along ``ax`` (order 2/4/8), zero boundary."""
+    from .stencil import _D2_COEFFS
+
+    c0, cs = _D2_COEFFS[order]
+    hw = len(cs)
+    nd = x.ndim
+    xp = jnp.pad(x, tuple((hw, hw) if i == ax else (0, 0) for i in range(nd)))
+    out = c0 * x
+    for s, c in enumerate(cs, start=1):
+        out = out + c * (xp[_axslice(nd, ax, hw, s)]
+                         + xp[_axslice(nd, ax, hw, -s)])
+    return out * inv_dx2
 
 
 def _cpml_profiles(shape, width, dt, dx, cmax, f0, R=1e-3, dtype=jnp.float32):
@@ -387,7 +413,7 @@ def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
     nd = c.ndim
     c2dt2 = (c * c) * (dt * dt)
     inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
-    inv_2dx = jnp.asarray(1.0 / (2.0 * dx), c.dtype)
+    inv_dx = jnp.asarray(1.0 / dx, c.dtype)
 
     size = 1
     for s in shape:
@@ -400,10 +426,10 @@ def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
         u_prev, u, psis, zetas = carry
         new_psis, new_zetas, lap_terms = [], [], []
         for ax in range(nd):
-            d1 = _d1_axis(u, ax, inv_2dx)
+            d1 = _d1_axis(u, ax, inv_dx, order)
             psi = b_prof[ax] * psis[ax] + a_prof[ax] * d1
-            d2 = _d2_axis(u, ax, inv_dx2)
-            dpsi = _d1_axis(psi, ax, inv_2dx)
+            d2 = _d2_axis(u, ax, inv_dx2, order)
+            dpsi = _d1_axis(psi, ax, inv_dx, order)
             zeta = b_prof[ax] * zetas[ax] + a_prof[ax] * (d2 + dpsi)
             new_psis.append(psi)
             new_zetas.append(zeta)
@@ -434,6 +460,7 @@ def cpml_wave_propagator(
     rcv_idx=None,
     pml_width: int = 12,
     cmax: float = 4000.0,
+    space_order: int = 2,
     remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
@@ -461,7 +488,7 @@ def cpml_wave_propagator(
         return _propagate_cpml(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, a_prof=state["a_prof"], b_prof=state["b_prof"],
-            remat_blocks=remat_blocks,
+            order=space_order, remat_blocks=remat_blocks,
         )
 
     def _df(dc, m0, state):
@@ -754,7 +781,7 @@ def _offgrid_axis_contract(W, u, ax):
 
 
 def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
-                   sponge, remat_blocks: int = 1):
+                   sponge, order: int = 2, remat_blocks: int = 1):
     """Coupled leapfrog for the pseudo-acoustic VTI system (axis 0 = z):
 
         p_tt = c² [(1+2ε) Lh(p) + √(1+2δ) ∂zz q] + s
@@ -777,10 +804,10 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
 
     def step(carry, s_t):
         p_prev, p, q_prev, q = carry
-        lh = _d2_axis(p, 1, inv_dx2)
+        lh = _d2_axis(p, 1, inv_dx2, order)
         for ax in range(2, nd):
-            lh = lh + _d2_axis(p, ax, inv_dx2)
-        dzz = _d2_axis(q, 0, inv_dx2)
+            lh = lh + _d2_axis(p, ax, inv_dx2, order)
+        dzz = _d2_axis(q, 0, inv_dx2, order)
         p_next = (2.0 * p - p_prev + c2dt2 * (ah * lh + av * dzz)) * sponge \
             + s_t * src_mask
         q_next = (2.0 * q - q_prev + c2dt2 * (av * lh + dzz)) * sponge \
@@ -805,6 +832,7 @@ def vti_wave_propagator(
     src_idx: int = 0,
     rcv_idx=None,
     sponge_width: int = 12,
+    space_order: int = 2,
     remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
@@ -833,7 +861,7 @@ def vti_wave_propagator(
         return _propagate_vti(
             m.getblock(0), m.getblock(1), m.getblock(2),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
-            dt=dt, dx=dx, sponge=state["sponge"],
+            dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
             remat_blocks=remat_blocks,
         )
 
@@ -871,20 +899,20 @@ def vti_wave_propagator(
 # ---------------------------------------------------------------------------
 
 
-def _dxz(u, inv_4dx2):
-    """Mixed second derivative ∂²/∂z∂x (2-D), central, zero boundary."""
-    up = jnp.pad(u, 1)
-    return (up[2:, 2:] - up[2:, :-2] - up[:-2, 2:] + up[:-2, :-2]) * inv_4dx2
+def _dxz(u, inv_dx, order: int = 2):
+    """Mixed second derivative ∂²/∂z∂x (2-D): composed central first
+    derivatives (order 2/4/8), zero boundary."""
+    return _d1_axis(_d1_axis(u, 0, inv_dx, order), 1, inv_dx, order)
 
 
 def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
-                   dt, dx, sponge, remat_blocks: int = 1):
+                   dt, dx, sponge, order: int = 2, remat_blocks: int = 1):
     if c.ndim != 2:
         raise ValueError("tti propagator is 2-D (tilt in the x-z plane)")
     shape = c.shape
     c2dt2 = (c * c) * (dt * dt)
     inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
-    inv_4dx2 = jnp.asarray(1.0 / (4.0 * dx * dx), c.dtype)
+    inv_dx = jnp.asarray(1.0 / dx, c.dtype)
     ah = 1.0 + 2.0 * eps
     av = jnp.sqrt(1.0 + 2.0 * delta)
     ct2 = jnp.cos(theta) ** 2
@@ -899,12 +927,12 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
     def step(carry, s_t):
         p_prev, p, q_prev, q = carry
         # rotated operators on each field
-        pxx = _d2_axis(p, 1, inv_dx2)
-        pzz = _d2_axis(p, 0, inv_dx2)
-        pxz = _dxz(p, inv_4dx2)
-        qxx = _d2_axis(q, 1, inv_dx2)
-        qzz = _d2_axis(q, 0, inv_dx2)
-        qxz = _dxz(q, inv_4dx2)
+        pxx = _d2_axis(p, 1, inv_dx2, order)
+        pzz = _d2_axis(p, 0, inv_dx2, order)
+        pxz = _dxz(p, inv_dx, order)
+        qxx = _d2_axis(q, 1, inv_dx2, order)
+        qzz = _d2_axis(q, 0, inv_dx2, order)
+        qxz = _dxz(q, inv_dx, order)
         Hp = ct2 * pxx + st2 * pzz - s2t * pxz
         Vq = st2 * qxx + ct2 * qzz + s2t * qxz
         p_next = (2.0 * p - p_prev + c2dt2 * (ah * Hp + av * Vq)) * sponge \
@@ -931,6 +959,7 @@ def tti_wave_propagator(
     src_idx: int = 0,
     rcv_idx=None,
     sponge_width: int = 12,
+    space_order: int = 2,
     remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
@@ -959,7 +988,7 @@ def tti_wave_propagator(
         return _propagate_tti(
             m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
-            dt=dt, dx=dx, sponge=state["sponge"],
+            dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
             remat_blocks=remat_blocks,
         )
 

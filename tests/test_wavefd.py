@@ -462,3 +462,85 @@ def test_tti_linearization_taylor_decay():
     obs, exp = jt.linearization_test(F, m0, delta_m=dm,
                                      mu=(1.0, 0.5, 0.25, 0.125))
     np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
+
+
+def test_high_order_cpml_and_anisotropic_gates():
+    """space_order=8 variants of CPML / VTI / TTI pass the adjoint gate."""
+    from jets_tpu.ops.wave import tti_wave_propagator, vti_wave_propagator
+
+    kw = dict(nt=32, dt=0.0006, dx=10.0, freq=18.0, src_idx=20 * 10 + 10,
+              dtype=jnp.float64)
+    Fc = cpml_wave_propagator((20, 20), pml_width=4, cmax=2500.0,
+                              space_order=8, **kw)
+    c0 = jnp.full((20, 20), 2000.0, jnp.float64)
+    J = born_operator(Fc, c0)
+    lhs, rhs = jt.dot_product_test(J, J.dom.randn(jax.random.PRNGKey(23)),
+                                   J.rng.randn(jax.random.PRNGKey(24)))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+    Fv = vti_wave_propagator((20, 20), sponge_width=4, space_order=8, **kw)
+    m = Fv.dom.zeros()
+    m = m.setblock(0, c0).setblock(
+        1, jnp.full((20, 20), 0.1, jnp.float64)).setblock(
+        2, jnp.full((20, 20), 0.05, jnp.float64))
+    J = Fv.linearize(m)
+    lhs, rhs = jt.dot_product_test(J, J.dom.randn(jax.random.PRNGKey(25)),
+                                   J.rng.randn(jax.random.PRNGKey(26)))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+    Ft = tti_wave_propagator((20, 20), sponge_width=4, space_order=8, **kw)
+    mt = Ft.dom.zeros()
+    mt = mt.setblock(0, c0).setblock(
+        1, jnp.full((20, 20), 0.1, jnp.float64)).setblock(
+        2, jnp.full((20, 20), 0.05, jnp.float64)).setblock(
+        3, jnp.full((20, 20), 0.3, jnp.float64))
+    J = Ft.linearize(mt)
+    lhs, rhs = jt.dot_product_test(J, J.dom.randn(jax.random.PRNGKey(27)),
+                                   J.rng.randn(jax.random.PRNGKey(28)))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_d1_axis_order_of_accuracy():
+    n = 400
+    h = 1.0 / n
+    t = (jnp.arange(n, dtype=jnp.float64) + 0.5) * h
+    g = lambda t: jnp.exp(-(((t - 0.5) / 0.1) ** 2))  # noqa: E731
+    f = g(t)
+    exact = jax.vmap(jax.grad(g))(t)
+    from jets_tpu.ops.wave import _d1_axis
+
+    errs = {}
+    for order, hw in [(2, 1), (4, 2), (8, 4)]:
+        num = _d1_axis(f, 0, jnp.float64(1.0 / h), order)
+        sl = slice(hw + 4, -(hw + 4))
+        errs[order] = float(jnp.max(jnp.abs(num[sl] - exact[sl])))
+    assert errs[4] < 1e-2 * errs[2]
+    assert errs[8] < 1e-4 * errs[4]
+
+
+# ---------------------------------------------------------------------- #
+# multi-parameter FWI end-to-end (block-vector model through the solvers)
+# ---------------------------------------------------------------------- #
+
+
+def test_multiparameter_fwi_lbfgs_on_block_domain():
+    """L-BFGS drives a (c, b) BlockVector model end-to-end: the whole
+    nonlinear solver stack (objective, adjoint-state gradient, two-loop
+    recursion, Armijo) must run on block-vector pytrees unchanged."""
+    from jets_tpu.solvers import lbfgs, least_squares_objective
+
+    F = _vd_propagator()
+    m_true = _vd_point()
+    # a velocity anomaly the inversion should reduce
+    c_pert = m_true.getblock(0).at[8:12, 8:12].add(60.0)
+    m_pert = m_true.setblock(0, c_pert)
+    d_obs = F(m_pert)
+
+    fg = least_squares_objective(F, d_obs)
+    phi0, g0 = fg(m_true)
+    from jets_tpu.core.blockspace import BlockVector
+
+    assert isinstance(g0, BlockVector)  # gradient lives in the block domain
+    res = lbfgs(fg, m_true, maxiter=8, mem=4, tol=0.0)
+    phi1, _ = fg(res.m)
+    assert float(phi1) < 0.5 * float(phi0)
