@@ -53,12 +53,20 @@ __all__ = [
 from .stencil import laplacian_nd as _laplacian  # shared implementation
 
 
-def _sponge(shape, width: int, strength: float = 0.015):
-    """Absorbing-boundary damping profile (cosine taper to the edges)."""
+def _sponge(shape, width: int, strength: float = 0.015,
+            free_surface: bool = False):
+    """Absorbing-boundary damping profile (cosine taper to the edges).
+    With ``free_surface`` the TOP edge of axis 0 is left undamped: the
+    zero-padded stencil boundary there acts as a pressure-release surface
+    (u = 0), producing the surface ghost/multiples of marine acquisition
+    (JetPackWaveFD's free-surface option)."""
     prof = jnp.ones(shape, jnp.float32)
     for ax, n in enumerate(shape):
         x = jnp.arange(n)
-        edge = jnp.minimum(x, n - 1 - x).astype(jnp.float32)
+        if free_surface and ax == 0:
+            edge = (n - 1 - x).astype(jnp.float32)   # damp only the bottom
+        else:
+            edge = jnp.minimum(x, n - 1 - x).astype(jnp.float32)
         damp = jnp.where(
             edge < width,
             jnp.exp(-strength * (width - edge) ** 2 / width),
@@ -161,6 +169,7 @@ def wave_propagator(
     sponge_width: int = 12,
     space_order: int = 2,
     remat_blocks: int = 1,
+    free_surface: bool = False,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward-modeling operator ``F: velocity c → traces d``.
@@ -178,7 +187,8 @@ def wave_propagator(
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _sponge(grid_shape, sponge_width,
+                     free_surface=free_surface).astype(dtype)
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 
     def _f(c, state):
@@ -377,7 +387,8 @@ def _d2_axis(x, ax, inv_dx2, order: int = 2):
     return out * inv_dx2
 
 
-def _cpml_profiles(shape, width, dt, dx, cmax, f0, R=1e-3, dtype=jnp.float32):
+def _cpml_profiles(shape, width, dt, dx, cmax, f0, R=1e-3, dtype=jnp.float32,
+                   free_surface: bool = False):
     """Per-axis CPML update coefficients ``(a_ax, b_ax)`` as broadcastable
     1-D profiles. ``sigma`` ramps quadratically to
     ``sigma_max = -3 c ln(R) / (2 W dx)`` at the outer edge; ``alpha`` ramps
@@ -390,7 +401,12 @@ def _cpml_profiles(shape, width, dt, dx, cmax, f0, R=1e-3, dtype=jnp.float32):
     sig_max = 3.0 * cmax * np.log(1.0 / R) / (2.0 * width * dx)
     for ax, n in enumerate(shape):
         i = np.arange(n, dtype=np.float64)
-        depth = np.maximum(width - np.minimum(i, n - 1 - i), 0.0) / width
+        if free_surface and ax == 0:
+            # no PML at the top: the stencil's zero boundary is the
+            # pressure-release free surface
+            depth = np.maximum(width - (n - 1 - i), 0.0) / width
+        else:
+            depth = np.maximum(width - np.minimum(i, n - 1 - i), 0.0) / width
         sig = sig_max * depth**2
         alpha = np.pi * f0 * (1.0 - depth) * (depth > 0)
         b = np.exp(-(sig + alpha) * dt)
@@ -462,6 +478,7 @@ def cpml_wave_propagator(
     cmax: float = 4000.0,
     space_order: int = 2,
     remat_blocks: int = 1,
+    free_surface: bool = False,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward modeling ``F: c → d`` with CPML absorbing
@@ -480,7 +497,8 @@ def cpml_wave_propagator(
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
     a_prof, b_prof = _cpml_profiles(
-        grid_shape, pml_width, dt, dx, cmax, freq, dtype=dtype
+        grid_shape, pml_width, dt, dx, cmax, freq, dtype=dtype,
+        free_surface=free_surface,
     )
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 

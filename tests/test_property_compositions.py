@@ -31,6 +31,7 @@ from jets_tpu.ops import (
     taper_operator,
     wavelet_operator,
 )
+from jets_tpu.ops.sampling import sinc_sampling_operator
 
 N = 16
 SP = jt.Space((N,), jnp.float64)
@@ -54,6 +55,8 @@ def _pool(rng):
         integration_operator(SP, alpha=0.8),
         mix_operator(SP, (3,)),
         roughness_operator(SP, (5,)),
+        sinc_sampling_operator(
+            SP, [np.linspace(0.25, N - 1.25, N)]),
     ]
 
 

@@ -544,3 +544,56 @@ def test_multiparameter_fwi_lbfgs_on_block_domain():
     res = lbfgs(fg, m_true, maxiter=8, mem=4, tol=0.0)
     phi1, _ = fg(res.m)
     assert float(phi1) < 0.5 * float(phi0)
+
+
+# ---------------------------------------------------------------------- #
+# free surface (marine pressure-release top boundary)
+# ---------------------------------------------------------------------- #
+
+
+def test_free_surface_ghost_and_gates():
+    """With free_surface the top boundary reflects (surface ghost) while the
+    other edges stay absorbing; without it the top absorbs too."""
+    n = 48
+    kw = dict(nt=160, dt=0.001, dx=10.0, freq=15.0,
+              src_idx=n * 6 + n // 2,                   # source near the top
+              rcv_idx=jnp.arange(n * n, dtype=jnp.int32),
+              sponge_width=8, dtype=jnp.float64)
+    F_fs = wave_propagator((n, n), free_surface=True, **kw)
+    F_ab = wave_propagator((n, n), free_surface=False, **kw)
+    c = jnp.full((n, n), 2000.0, jnp.float64)
+    d_fs, d_ab = F_fs(c), F_ab(c)
+    peak = float(jnp.max(jnp.abs(d_fs)))
+    # the free-surface damping profile is exactly 1 along the whole top
+    # row and still absorbs at the bottom and sides
+    from jets_tpu.ops.wave import _sponge
+
+    prof = np.asarray(_sponge((n, n), 8, free_surface=True))
+    assert np.all(prof[0, 8:-8] == 1.0)
+    assert np.all(prof[-1, :] < 1.0) and np.all(prof[:, 0] < 1.0)
+    # late-time wavefield: the surface ghost keeps energy in the domain
+    # that the absorbing-top run loses (measured ratio ~1.6 — the side
+    # boundaries leak identically in both runs and dilute it)
+    late_fs = float(jnp.linalg.norm(d_fs[120:]))
+    late_ab = float(jnp.linalg.norm(d_ab[120:]))
+    assert late_fs > 1.4 * late_ab
+    assert peak > 0
+    # gates still hold with the free surface on
+    J = born_operator(F_fs, c)
+    lhs, rhs = jt.dot_product_test(
+        J, J.dom.randn(jax.random.PRNGKey(29)),
+        J.rng.randn(jax.random.PRNGKey(30)))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_free_surface_cpml():
+    from jets_tpu.ops.wave import _cpml_profiles
+
+    a_prof, b_prof = _cpml_profiles((32, 32), 6, 0.001, 10.0, 2000.0, 15.0,
+                                    dtype=jnp.float64, free_surface=True)
+    a0 = np.asarray(a_prof[0]).ravel()
+    assert np.all(a0[:16] == 0.0)      # no PML at the top of axis 0
+    assert np.any(a0[-6:] != 0.0)      # bottom PML intact
+    a1 = np.asarray(a_prof[1]).ravel()
+    assert np.any(a1[:6] != 0.0)       # lateral PML on both sides
+    assert np.any(a1[-6:] != 0.0)
