@@ -214,7 +214,12 @@ class BlockSpace(Space):
         return jnp.reshape(x, (-1,))
 
     def shape_dtype(self):
-        return tuple(s.shape_dtype() for s in self._spaces)
+        # a BlockVector-STRUCTURED pytree of ShapeDtypeStructs: the derived
+        # adjoint (jet `linear_transpose`) traces `df` with this as the
+        # primal, so it must carry the same tree structure as real members —
+        # a bare tuple would reach block-aware kernels structure-stripped
+        return BlockVector(
+            tuple(s.shape_dtype() for s in self._spaces), self)
 
     # -- reductions: per-block partials (future psum points) ------------------
     def dot(self, x, y):

@@ -47,6 +47,7 @@ __all__ = [
     "offgrid_wave_propagator",
     "vti_wave_propagator",
     "tti_wave_propagator",
+    "multishot_vti_wave_operator",
 ]
 
 
@@ -1029,3 +1030,64 @@ def tti_wave_propagator(
         },
     )
     return Operator(j)
+
+
+def multishot_vti_wave_operator(
+    grid_shape: Sequence[int],
+    src_indices,
+    *,
+    nt: int = 128,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    space_order: int = 2,
+    remat_blocks: int = 1,
+    mesh=None,
+    axis: str = "block",
+    dtype=jnp.float32,
+) -> Operator:
+    """Multi-shot VTI modeling ``F: (c, ε, δ) -> (nshots, nt, nrcv)`` —
+    anisotropic physics through the SAME stacked/sharded block machinery as
+    the isotropic multishot (the model, a ``BlockVector``, is just another
+    pytree: it replicates across the mesh with spec ``P()`` and the derived
+    adjoint psum returns the (δc, δε, δδ) triple)."""
+    from ..core.blockspace import BlockSpace
+    from ..parallel.sharded import stacked_block_operator
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp, gsp, gsp])
+    src_indices = jnp.asarray(src_indices, jnp.int32)
+    nshots = int(src_indices.shape[0])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+
+    def shot_f(m, bs):
+        return _propagate_vti(
+            m.getblock(0), m.getblock(1), m.getblock(2),
+            bs["wavelet"], bs["src"], bs["rcv"],
+            dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
+            remat_blocks=remat_blocks,
+        )
+
+    def shot_df(dm, m0, bs):
+        _, tangent = jax.jvp(lambda m: shot_f(m, bs), (m0,), (dm,))
+        return tangent
+
+    return stacked_block_operator(
+        nblocks=nshots,
+        dom=dom,
+        rng_block=Space((nt, int(rcv_idx.shape[0])), dtype),
+        bstate={"src": src_indices},
+        sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
+        f=shot_f,
+        df=shot_df,
+        mesh=mesh,
+        axis=axis,
+    )

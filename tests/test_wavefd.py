@@ -597,3 +597,40 @@ def test_free_surface_cpml():
     a1 = np.asarray(a_prof[1]).ravel()
     assert np.any(a1[:6] != 0.0)       # lateral PML on both sides
     assert np.any(a1[-6:] != 0.0)
+
+
+# ---------------------------------------------------------------------- #
+# sharded anisotropic multishot
+# ---------------------------------------------------------------------- #
+
+
+def test_multishot_vti_sharded_parity_and_gate():
+    """The BlockVector model replicates across the mesh like any pytree:
+    sharded forward equals unsharded, and the derived psum adjoint passes
+    the gate (returning the (dc, de, dd) triple)."""
+    from jets_tpu.ops.wave import multishot_vti_wave_operator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    grid = (16, 16)
+    srcs = jnp.array([16 * 4 + 4, 16 * 4 + 11, 16 * 11 + 4, 16 * 11 + 11,
+                      16 * 8 + 8, 16 * 2 + 8, 16 * 8 + 2, 16 * 13 + 8])
+    kw = dict(nt=24, dt=0.0008, dx=10.0, freq=18.0, sponge_width=3,
+              dtype=jnp.float64)
+    F0 = multishot_vti_wave_operator(grid, srcs, **kw)
+    F1 = multishot_vti_wave_operator(grid, srcs, mesh=make_block_mesh(8),
+                                     **kw)
+    m = F0.dom.zeros()
+    m = m.setblock(0, jnp.full(grid, 2000.0, jnp.float64))
+    m = m.setblock(1, jnp.full(grid, 0.12, jnp.float64))
+    m = m.setblock(2, jnp.full(grid, 0.05, jnp.float64))
+    d0, d1 = F0(m), F1(m)
+    assert d0.shape[0] == 8
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-12)
+
+    J = F1.linearize(m)
+    mm = J.dom.randn(jax.random.PRNGKey(31))
+    dd = J.rng.randn(jax.random.PRNGKey(32))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
