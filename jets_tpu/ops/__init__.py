@@ -64,7 +64,9 @@ from .wave import (
     cpml_wave_propagator,
     multishot_wave_operator,
     offgrid_wave_propagator,
+    q_wave_propagator,
     vd_wave_propagator,
+    vdq_wave_propagator,
     vti_wave_propagator,
     wave_propagator,
 )
@@ -133,7 +135,9 @@ __all__ = [
     "multishot_wave_operator",
     "offgrid_wave_propagator",
     "tti_wave_propagator",
+    "q_wave_propagator",
     "vd_wave_propagator",
+    "vdq_wave_propagator",
     "vti_wave_propagator",
     "wave_propagator",
 ]

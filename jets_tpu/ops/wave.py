@@ -43,6 +43,8 @@ __all__ = [
     "born_operator",
     "multishot_wave_operator",
     "vd_wave_propagator",
+    "q_wave_propagator",
+    "vdq_wave_propagator",
     "cpml_wave_propagator",
     "offgrid_wave_propagator",
     "vti_wave_propagator",
@@ -52,6 +54,16 @@ __all__ = [
 
 
 from .stencil import laplacian_nd as _laplacian  # shared implementation
+
+
+def _check_space_order(order: int) -> int:
+    """Validate the spatial accuracy order at operator CONSTRUCTION time so a
+    bad value raises a clear ``ValueError`` instead of a ``KeyError`` from
+    ``_D2_COEFFS``/``_D1_COEFFS`` deep inside jit tracing (mirrors
+    ``laplacian_operator``'s check, ``ops/stencil.py``)."""
+    if order not in (2, 4, 8):
+        raise ValueError(f"space_order must be one of (2, 4, 8), got {order}")
+    return int(order)
 
 
 def _sponge(shape, width: int, strength: float = 0.015,
@@ -79,6 +91,72 @@ def _sponge(shape, width: int, strength: float = 0.015,
     return prof
 
 
+def _sponge_factors(shape, width: int, strength: float = 0.015,
+                    free_surface: bool = False):
+    """The per-axis 1-D factors of :func:`_sponge` (broadcastable shapes),
+    left UNFUSED so the time step can recompute their product in-register
+    instead of reading a full-grid sponge array from HBM. In the 3-D
+    HBM-bound regime this removes one grid touch per step (measured on TPU
+    v5e, 256³ f32: the full-grid sponge read costs ~14% of the step; see
+    docs §7). In float32 the factor product ``(d0·d1)·d2`` is bit-identical
+    to the stored full-grid sponge (same multiplication tree); in float64
+    the factors are upcast before the product (the stored sponge was
+    computed in f32), so equality is to roundoff there."""
+    factors = []
+    for ax, n in enumerate(shape):
+        x = jnp.arange(n)
+        if free_surface and ax == 0:
+            edge = (n - 1 - x).astype(jnp.float32)
+        else:
+            edge = jnp.minimum(x, n - 1 - x).astype(jnp.float32)
+        damp = jnp.where(
+            edge < width,
+            jnp.exp(-strength * (width - edge) ** 2 / width),
+            1.0,
+        )
+        factors.append(damp.reshape(
+            tuple(n if i == ax else 1 for i in range(len(shape)))
+        ))
+    return tuple(factors)
+
+
+def _make_sponge(shape, width: int, strength: float = 0.015,
+                 free_surface: bool = False, dtype=jnp.float32):
+    """Sponge in the representation the step should use: a full-grid array
+    for 1-/2-D grids (VMEM-resident regime — measured FASTER than the
+    factor product there: the extra in-register multiplies cost more than
+    the free VMEM read), a tuple of per-axis factors for 3-D+ grids
+    (HBM-bound regime — one fewer full-grid read per step)."""
+    if len(shape) >= 3:
+        return tuple(f.astype(dtype) for f in _sponge_factors(
+            shape, width, strength, free_surface))
+    return _sponge(shape, width, strength, free_surface).astype(dtype)
+
+
+def _mul_sponge(e, sponge):
+    """Apply a sponge in either representation (full array or factor
+    tuple); the factor product is bit-identical to the full array."""
+    if isinstance(sponge, tuple):
+        s = sponge[0]
+        for p in sponge[1:]:
+            s = s * p
+        return e * s
+    return e * sponge
+
+
+def _iota_src_mask(shape, src_idx, amp):
+    """One-hot source mask computed IN-REGISTER from broadcasted iotas —
+    zero HBM traffic, vs a full-grid read for a stored dense mask (measured
+    ~19% of the 3-D step; see docs §7). Values identical to
+    ``zeros.at[src_idx].set(amp)``. Works under vmap (per-shot ``src_idx``
+    broadcasts)."""
+    nd = len(shape)
+    flat = lax.broadcasted_iota(jnp.int32, shape, 0)
+    for a in range(1, nd):
+        flat = flat * shape[a] + lax.broadcasted_iota(jnp.int32, shape, a)
+    return jnp.where(flat == src_idx, amp, jnp.zeros_like(amp))
+
+
 def _ricker(nt: int, dt: float, freq: float, dtype=jnp.float32):
     # delay so the peak fires well inside the simulated window even for
     # short runs (standard 1/freq delay, capped at a quarter of the window)
@@ -97,7 +175,23 @@ def _scan_remat(step, carry, xs, remat_blocks: int):
     ``remat_blocks ≈ √nt``) and recomputes inside each segment, instead of
     storing all ``nt`` step carries."""
     nt = int(xs.shape[0])
-    if remat_blocks <= 1 or nt % remat_blocks != 0:
+    if remat_blocks > 1 and nt % remat_blocks != 0:
+        # don't silently drop the O(√nt) memory saving: snap to the nearest
+        # divisor of nt (warning), so the blocked structure is preserved
+        import warnings
+
+        divisors = [k for k in range(2, nt + 1) if nt % k == 0]
+        if divisors:
+            snapped = min(divisors, key=lambda k: abs(k - remat_blocks))
+            warnings.warn(
+                f"remat_blocks={remat_blocks} does not divide nt={nt}; "
+                f"using the nearest divisor {snapped} instead",
+                stacklevel=2,
+            )
+            remat_blocks = snapped
+        else:  # nt == 1
+            remat_blocks = 1
+    if remat_blocks <= 1:
         return lax.scan(jax.checkpoint(step, prevent_cse=False), carry, xs)
     blk = nt // remat_blocks
     xs_b = xs.reshape((remat_blocks, blk) + xs.shape[1:])
@@ -126,26 +220,31 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
     nt = src_wavelet.shape[0]
 
-    # dense one-hot source mask: a scatter inside the step is its own
-    # un-fused XLA op per time step; a mask add fuses into the same
-    # elementwise pass as the leapfrog update. Measured step cost (marginal
-    # over nt on TPU v5e): 5.7 µs for a 512² f32 grid = 46 Gcell·steps/s,
-    # the HBM bound for the ~5 grid-array touches per step.
+    # one-hot source mask: a scatter inside the step is its own un-fused
+    # XLA op per time step; a mask add fuses into the same elementwise pass
+    # as the leapfrog update. In 1-/2-D (VMEM-resident regime) the mask is
+    # a stored dense array; in 3-D (HBM-bound) it is recomputed in-register
+    # from iotas — a stored mask is a full-grid HBM read per step (~19% of
+    # the 256³ step, measured; docs §7). Values are identical either way.
     size = 1
     for s in shape:
         size *= int(s)
-    if src_mask is None:
+    iota_src = src_mask is None and len(shape) >= 3
+    if src_mask is None and not iota_src:
         src_mask = (
             jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
             .reshape(shape)
         )
     if extract is None:
         extract = lambda u: u.reshape(-1)[rcv_idx]  # noqa: E731
+    amp = jnp.asarray(dt * dt, c.dtype)
 
     def step(carry, s_t):
         u_prev, u = carry
         lap = _laplacian(u, order=order)
-        u_next = (2.0 * u - u_prev + c2dt2 * lap) * sponge + s_t * src_mask
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
+        u_next = _mul_sponge(2.0 * u - u_prev + c2dt2 * lap, sponge) \
+            + s_t * mask
         rec = extract(u_next)
         return (u, u_next), rec
 
@@ -182,14 +281,15 @@ def wave_propagator(
     ``space_order`` ∈ {2, 4, 8} picks the spatial stencil accuracy.
     """
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     sp = Space(grid_shape, dtype)
     if rcv_idx is None:
         n = sp.size
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width,
-                     free_surface=free_surface).astype(dtype)
+    sponge = _make_sponge(grid_shape, sponge_width,
+                          free_surface=free_surface, dtype=dtype)
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 
     def _f(c, state):
@@ -278,25 +378,47 @@ def multishot_wave_operator(
     from ..parallel.sharded import stacked_block_operator
 
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     sp = Space(grid_shape, dtype)
     src_indices = jnp.asarray(src_indices, jnp.int32)
     nshots = int(src_indices.shape[0])
     prop_shape = grid_shape
+    if (window_shape is None) != (window_corners is None):
+        raise ValueError(
+            "ginsu windowing needs BOTH window_shape and window_corners "
+            "(or neither)"
+        )
     if window_shape is not None:
+        import numpy as np
+
         prop_shape = tuple(int(s) for s in window_shape)
-        window_corners = jnp.asarray(window_corners, jnp.int32)
-        if window_corners.shape != (nshots, len(grid_shape)):
+        corners_np = np.asarray(window_corners, np.int64)
+        if corners_np.shape != (nshots, len(grid_shape)):
             raise ValueError(
                 "window_corners must be (nshots, ndim) when window_shape "
                 "is given"
             )
+        # corners are concrete at construction: validate them here, because
+        # lax.dynamic_slice CLAMPS out-of-bounds starts — an invalid corner
+        # would silently model a shifted window (wrong shot location)
+        hi = corners_np + np.asarray(prop_shape)
+        if (corners_np < 0).any() or (hi > np.asarray(grid_shape)).any():
+            bad = np.nonzero(
+                (corners_np < 0).any(axis=1)
+                | (hi > np.asarray(grid_shape)).any(axis=1)
+            )[0]
+            raise ValueError(
+                f"ginsu window out of bounds for shots {bad.tolist()}: "
+                f"need 0 <= corner and corner + {prop_shape} <= {grid_shape}"
+            )
+        window_corners = jnp.asarray(corners_np, jnp.int32)
     psp = Space(prop_shape, dtype)
     if rcv_idx is None:
         n = psp.size
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(prop_shape, sponge_width).astype(dtype)
+    sponge = _make_sponge(prop_shape, sponge_width, dtype=dtype)
 
     def shot_f(c, bs):
         if window_shape is not None:
@@ -435,12 +557,17 @@ def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
     size = 1
     for s in shape:
         size *= int(s)
-    src_mask = (
-        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
-    )
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(dt * dt, c.dtype)
+    if not iota_src:
+        src_mask = (
+            jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
 
     def step(carry, s_t):
         u_prev, u, psis, zetas = carry
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
         new_psis, new_zetas, lap_terms = [], [], []
         for ax in range(nd):
             d1 = _d1_axis(u, ax, inv_dx, order)
@@ -454,7 +581,7 @@ def _propagate_cpml(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
         lap = lap_terms[0]
         for t in lap_terms[1:]:
             lap = lap + t
-        u_next = 2.0 * u - u_prev + c2dt2 * lap + s_t * src_mask
+        u_next = 2.0 * u - u_prev + c2dt2 * lap + s_t * mask
         rec = u_next.reshape(-1)[rcv_idx]
         return (u, u_next, tuple(new_psis), tuple(new_zetas)), rec
 
@@ -491,6 +618,7 @@ def cpml_wave_propagator(
     constants, not functions of the model — keeping the jet linearization
     exact and the profiles out of the gradient)."""
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     sp = Space(grid_shape, dtype)
     if rcv_idx is None:
         n = sp.size
@@ -568,22 +696,41 @@ def _div_b_grad(u, b, inv_dx2):
 
 
 def _propagate_vd(c, b, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
-                  remat_blocks: int = 1):
-    """Variable-density leapfrog: p_tt = kappa * div(b grad p) + kappa s."""
+                  remat_blocks: int = 1, g=None):
+    """Variable-density leapfrog: p_tt = kappa * div(b grad p) + kappa s.
+    With ``g = gamma·dt`` (from a Q model block) the Kosloff constant-Q
+    friction term ``2 gamma p_t`` is added — the full IsoDenQ physics of
+    the JetPackWaveFD propagators. ``g=None`` keeps the lossless scheme
+    bit-exact (no damping factors enter the update at all)."""
     shape = c.shape
     kappa = (c * c) / b
     kdt2 = kappa * (dt * dt)
     inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
+    if g is not None:
+        inv1pg = 1.0 / (1.0 + g)
+        om1g = 1.0 - g
 
     size = 1
     for s in shape:
         size *= int(s)
-    src_mask = jnp.zeros((size,), c.dtype).at[src_idx].set(1.0).reshape(shape)
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(1.0, c.dtype)
+    if not iota_src:
+        src_mask = (
+            jnp.zeros((size,), c.dtype).at[src_idx].set(1.0).reshape(shape)
+        )
 
     def step(carry, s_t):
         p_prev, p = carry
         lap = _div_b_grad(p, b, inv_dx2)
-        p_next = (2.0 * p - p_prev + kdt2 * (lap + s_t * src_mask)) * sponge
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
+        if g is None:
+            p_next = _mul_sponge(2.0 * p - p_prev
+                                 + kdt2 * (lap + s_t * mask), sponge)
+        else:
+            p_next = _mul_sponge((2.0 * p - om1g * p_prev
+                                  + kdt2 * (lap + s_t * mask)) * inv1pg,
+                                 sponge)
         rec = p_next.reshape(-1)[rcv_idx]
         return (p, p_next), rec
 
@@ -625,7 +772,7 @@ def vd_wave_propagator(
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
@@ -634,6 +781,202 @@ def vd_wave_propagator(
         return _propagate_vd(
             c, b, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=remat_blocks,
+        )
+
+    def _df(dm, m0, state):
+        _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "sponge": sponge,
+            "src_idx": jnp.asarray(src_idx, jnp.int32),
+            "rcv_idx": rcv_idx,
+        },
+    )
+    return Operator(j)
+
+
+def vdq_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    f0: Optional[float] = None,
+    src_idx: int = 0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    remat_blocks: int = 1,
+    dtype=jnp.float32,
+) -> Operator:
+    """Full IsoDenQ physics ``F: (c, b, Q) → traces`` — velocity, buoyancy
+    AND attenuation together, the parameterization of JetPackWaveFD's
+    production ``Prop*AcoIsoDenQ`` propagators. Domain:
+    ``BlockSpace([grid, grid, grid])``; the adjoint returns the
+    (δc, δb, δQ) gradient triple in one reverse pass. With ``Q → ∞`` this
+    reduces bit-exactly to :func:`vd_wave_propagator` (no damping factors
+    enter the update)."""
+    from ..core.blockspace import BlockSpace
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp, gsp, gsp])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
+    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    f0v = float(freq if f0 is None else f0)
+
+    def _f(m, state):
+        import math
+
+        c = m.getblock(0).reshape(grid_shape)
+        b = m.getblock(1).reshape(grid_shape)
+        q = m.getblock(2).reshape(grid_shape)
+        g = (math.pi * f0v * dt) / q
+        return _propagate_vd(
+            c, b, state["wavelet"], state["src_idx"], state["rcv_idx"],
+            dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=remat_blocks,
+            g=g,
+        )
+
+    def _df(dm, m0, state):
+        _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
+        return tangent
+
+    def _dft(dd, m0, state):
+        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+        (out,) = vjp(dd)
+        return out
+
+    j = Jet(
+        dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
+        state={
+            "wavelet": wavelet,
+            "sponge": sponge,
+            "src_idx": jnp.asarray(src_idx, jnp.int32),
+            "rcv_idx": rcv_idx,
+        },
+    )
+    return Operator(j)
+
+
+# ---------------------------------------------------------------------------
+# Visco-acoustic Q attenuation — the "Q" of JetPackWaveFD's DenQ propagator
+# family (2D/3D Aco{Iso,VTI,TTI}DenQ: every production propagator in the
+# reference family carries both variable density AND attenuation). Kosloff
+# constant-Q damping: a first-order friction term with spatially varying
+# rate gamma(x) = pi f0 / Q(x),
+#
+#     u_tt + 2 gamma u_t = c^2 lap(u) + s
+#
+# discretized with the centered-in-time damping term so the scheme stays
+# 2nd-order and, crucially for TPU, the update stays ONE fused elementwise
+# pass: u+ = (2u - (1-g) u- + c^2 dt^2 lap + s) / (1+g) with g = gamma dt
+# computed in-register from the Q model block. Q -> inf (g -> 0) reduces
+# bit-for-bit to the lossless leapfrog (pinned by the suite).
+# ---------------------------------------------------------------------------
+
+
+def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
+                 order: int = 2, remat_blocks: int = 1):
+    """Leapfrog with Kosloff constant-Q friction; returns (nt, nrcv)."""
+    import math
+
+    shape = c.shape
+    c2dt2 = (c * c) * (dt * dt) / (dx * dx)
+    g = (math.pi * f0 * dt) / q                  # gamma·dt, full-grid field
+    inv1pg = 1.0 / (1.0 + g)
+    om1g = 1.0 - g
+
+    size = 1
+    for s in shape:
+        size *= int(s)
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(dt * dt, c.dtype)
+    if not iota_src:
+        src_mask = (
+            jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
+
+    def step(carry, s_t):
+        u_prev, u = carry
+        lap = _laplacian(u, order=order)
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
+        u_next = _mul_sponge(
+            (2.0 * u - om1g * u_prev + c2dt2 * lap) * inv1pg, sponge
+        ) + s_t * mask
+        rec = u_next.reshape(-1)[rcv_idx]
+        return (u, u_next), rec
+
+    zero = (src_idx * 0).astype(c.dtype)
+    u0 = jnp.zeros(shape, c.dtype) + zero
+    (_, _), traces = _scan_remat(step, (u0, u0), src_wavelet, remat_blocks)
+    return traces
+
+
+def q_wave_propagator(
+    grid_shape: Sequence[int],
+    *,
+    nt: int = 256,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    f0: Optional[float] = None,
+    src_idx: int = 0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    space_order: int = 2,
+    remat_blocks: int = 1,
+    dtype=jnp.float32,
+) -> Operator:
+    """Two-parameter visco-acoustic forward modeling ``F: (c, Q) → traces``
+    — the attenuation physics of JetPackWaveFD's DenQ propagators.
+
+    Domain: ``BlockSpace([grid, grid])`` holding velocity ``c`` and the
+    quality factor ``Q`` (dimensionless; smaller Q = stronger absorption;
+    the reference family's multi-parameter model is a block vector,
+    ``src/Jets.jl:736-760``). ``f0`` is the reference frequency at which Q
+    is specified (defaults to the source ``freq``). Tangent/adjoint via
+    jvp/vjp through the rematerialized scan — the adjoint returns the
+    (δc, δQ) gradient pair, so Q-tomography FWI runs through the same
+    solvers as velocity FWI. ``Q → ∞`` reduces exactly to
+    :func:`wave_propagator` (pinned by the suite)."""
+    from ..core.blockspace import BlockSpace
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp, gsp])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
+    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    f0 = float(freq if f0 is None else f0)
+
+    def _f(m, state):
+        c = m.getblock(0).reshape(grid_shape)
+        q = m.getblock(1).reshape(grid_shape)
+        return _propagate_q(
+            c, q, state["wavelet"], state["src_idx"], state["rcv_idx"],
+            dt=dt, dx=dx, f0=f0, sponge=state["sponge"], order=space_order,
+            remat_blocks=remat_blocks,
         )
 
     def _df(dm, m0, state):
@@ -717,10 +1060,11 @@ def offgrid_wave_propagator(
     from .sampling import kaiser_sinc_matrix, kaiser_sinc_matrix_np
 
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     nd = len(grid_shape)
     sp = Space(grid_shape, dtype)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
     src_mask = _offgrid_src_mask(grid_shape, src_pos, dt, radius, dtype)
 
     # depth taps: static window [iz0, iz0+2r) clamped to the grid
@@ -817,20 +1161,27 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
     size = 1
     for s in shape:
         size *= int(s)
-    src_mask = (
-        jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt).reshape(shape)
-    )
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(dt * dt, c.dtype)
+    if not iota_src:
+        src_mask = (
+            jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
 
     def step(carry, s_t):
         p_prev, p, q_prev, q = carry
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
         lh = _d2_axis(p, 1, inv_dx2, order)
         for ax in range(2, nd):
             lh = lh + _d2_axis(p, ax, inv_dx2, order)
         dzz = _d2_axis(q, 0, inv_dx2, order)
-        p_next = (2.0 * p - p_prev + c2dt2 * (ah * lh + av * dzz)) * sponge \
-            + s_t * src_mask
-        q_next = (2.0 * q - q_prev + c2dt2 * (av * lh + dzz)) * sponge \
-            + s_t * src_mask
+        p_next = _mul_sponge(2.0 * p - p_prev
+                             + c2dt2 * (ah * lh + av * dzz), sponge) \
+            + s_t * mask
+        q_next = _mul_sponge(2.0 * q - q_prev
+                             + c2dt2 * (av * lh + dzz), sponge) \
+            + s_t * mask
         rec = p_next.reshape(-1)[rcv_idx]
         return (p, p_next, q, q_next), rec
 
@@ -866,6 +1217,7 @@ def vti_wave_propagator(
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp, gsp, gsp])
     if rcv_idx is None:
@@ -873,7 +1225,7 @@ def vti_wave_propagator(
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
@@ -991,6 +1343,7 @@ def tti_wave_propagator(
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     if len(grid_shape) != 2:
         raise ValueError("tti_wave_propagator is 2-D")
     gsp = Space(grid_shape, dtype)
@@ -1000,7 +1353,7 @@ def tti_wave_propagator(
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
@@ -1057,6 +1410,7 @@ def multishot_vti_wave_operator(
     from ..parallel.sharded import stacked_block_operator
 
     grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp, gsp, gsp])
     src_indices = jnp.asarray(src_indices, jnp.int32)
@@ -1066,7 +1420,7 @@ def multishot_vti_wave_operator(
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _sponge(grid_shape, sponge_width).astype(dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
 
     def shot_f(m, bs):
         return _propagate_vti(

@@ -634,3 +634,214 @@ def test_multishot_vti_sharded_parity_and_gate():
     dd = J.rng.randn(jax.random.PRNGKey(32))
     lhs, rhs = jt.dot_product_test(J, mm, dd)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------- #
+# construction-time validation (round-3 advisor items)
+# ---------------------------------------------------------------------- #
+
+
+def test_invalid_space_order_raises_at_construction():
+    """space_order outside {2,4,8} must raise a clear ValueError at operator
+    construction, not a KeyError deep inside jit tracing."""
+    from jets_tpu.ops.wave import tti_wave_propagator, vti_wave_propagator
+
+    for ctor in (wave_propagator, cpml_wave_propagator,
+                 vti_wave_propagator, tti_wave_propagator):
+        with pytest.raises(ValueError, match="space_order"):
+            ctor((8, 8), nt=4, space_order=6)
+    with pytest.raises(ValueError, match="space_order"):
+        multishot_wave_operator((8, 8), [0, 1], nt=4, space_order=3)
+
+
+def test_ginsu_window_validation():
+    """Ginsu windowing: both-or-neither args, and corners must keep the
+    window inside the grid (dynamic_slice would clamp silently)."""
+    grid = (16, 16)
+    srcs = [5, 6]
+    # exactly one of the pair
+    with pytest.raises(ValueError, match="BOTH"):
+        multishot_wave_operator(grid, srcs, nt=4, window_shape=(8, 8))
+    with pytest.raises(ValueError, match="BOTH"):
+        multishot_wave_operator(grid, srcs, nt=4,
+                                window_corners=[[0, 0], [1, 1]])
+    # out-of-bounds corner (12 + 8 > 16) and negative corner
+    with pytest.raises(ValueError, match="out of bounds"):
+        multishot_wave_operator(grid, srcs, nt=4, window_shape=(8, 8),
+                                window_corners=[[0, 0], [12, 0]])
+    with pytest.raises(ValueError, match="out of bounds"):
+        multishot_wave_operator(grid, srcs, nt=4, window_shape=(8, 8),
+                                window_corners=[[-1, 0], [0, 0]])
+    # valid corners still construct
+    F = multishot_wave_operator(grid, srcs, nt=4, window_shape=(8, 8),
+                                window_corners=[[0, 0], [8, 8]])
+    assert F.dom.shape == grid
+
+
+def test_remat_blocks_snaps_to_divisor():
+    """A non-divisor remat_blocks warns and snaps to the nearest divisor of
+    nt instead of silently losing the blocked-checkpoint memory saving."""
+    F = wave_propagator((8, 8), nt=30, dt=5e-4, dx=10.0, sponge_width=2,
+                        remat_blocks=7, dtype=jnp.float64)
+    c0 = jnp.full((8, 8), 1500.0, jnp.float64)
+    with pytest.warns(UserWarning, match="nearest divisor"):
+        d = F(c0)
+    assert d.shape[0] == 30
+    # value must match the exactly-divisible path
+    F6 = wave_propagator((8, 8), nt=30, dt=5e-4, dx=10.0, sponge_width=2,
+                         remat_blocks=6, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(F6(c0)), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------- #
+# visco-acoustic Q attenuation (JetPackWaveFD DenQ-family parity)
+# ---------------------------------------------------------------------- #
+
+
+def _q_propagator(**kw):
+    from jets_tpu.ops.wave import q_wave_propagator
+
+    args = dict(nt=60, dt=0.0008, dx=10.0, freq=18.0,
+                src_idx=20 * 10 + 10, sponge_width=4, dtype=jnp.float64)
+    args.update(kw)
+    return q_wave_propagator((20, 20), **args)
+
+
+def _q_point(Q=30.0):
+    F = _q_propagator()
+    m = F.dom.zeros()
+    return (m.setblock(0, jnp.full((20, 20), 2000.0, jnp.float64))
+            .setblock(1, jnp.full((20, 20), Q, jnp.float64)))
+
+
+def test_q_infinite_reduces_to_lossless():
+    """Q -> inf is exactly the lossless leapfrog (g = 0 folds every damping
+    factor to 1.0, so the reduction is bit-level, not approximate)."""
+    Fq = _q_propagator()
+    F0 = wave_propagator((20, 20), nt=60, dt=0.0008, dx=10.0, freq=18.0,
+                         src_idx=20 * 10 + 10, sponge_width=4,
+                         dtype=jnp.float64)
+    c = jnp.full((20, 20), 2000.0, jnp.float64)
+    dq = Fq(_q_point(Q=jnp.inf))
+    d0 = F0(c)
+    np.testing.assert_array_equal(np.asarray(dq), np.asarray(d0))
+
+
+def test_q_attenuates_monotonically():
+    """Smaller Q = stronger absorption: trace energy decreases as Q drops."""
+    Fq = _q_propagator(nt=200)
+
+    def energy(Q):
+        m = (Fq.dom.zeros()
+             .setblock(0, jnp.full((20, 20), 2000.0, jnp.float64))
+             .setblock(1, jnp.full((20, 20), Q, jnp.float64)))
+        d = Fq(m)
+        return float(jnp.sum(d * d))
+
+    e_inf, e_100, e_20 = energy(1e9), energy(100.0), energy(20.0)
+    assert e_inf > e_100 > e_20 > 0
+
+
+def test_q_jacobian_dot_product_gate():
+    F = _q_propagator()
+    J = F.linearize(_q_point())
+    m = J.dom.randn(jax.random.PRNGKey(15))
+    d = J.rng.randn(jax.random.PRNGKey(16))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_q_linearization_taylor_decay():
+    F = _q_propagator()
+    m0 = _q_point()
+    dm = F.dom.randn(jax.random.PRNGKey(17))
+    dm = dm.setblock(0, 50.0 * dm.getblock(0))
+    dm = dm.setblock(1, 2.0 * dm.getblock(1))
+    obs, exp = jt.linearization_test(F, m0, delta_m=dm,
+                                     mu=(1.0, 0.5, 0.25, 0.125))
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(exp), rtol=0.35)
+
+
+def test_vdq_full_denq_physics():
+    """IsoDenQ (c, b, Q) — Q=inf reduces bit-exactly to variable-density,
+    finite Q attenuates, and the Jacobian passes the gate."""
+    from jets_tpu.ops.wave import vdq_wave_propagator
+
+    kw = dict(nt=60, dt=0.0008, dx=10.0, freq=18.0,
+              src_idx=20 * 10 + 10, sponge_width=4, dtype=jnp.float64)
+    Fq = vdq_wave_propagator((20, 20), **kw)
+    Fvd = vd_wave_propagator((20, 20), **kw)
+    c = jnp.full((20, 20), 2000.0, jnp.float64)
+    b = jnp.full((20, 20), 1e-3, jnp.float64)
+
+    m_inf = (Fq.dom.zeros().setblock(0, c).setblock(1, b)
+             .setblock(2, jnp.full((20, 20), jnp.inf, jnp.float64)))
+    m_vd = Fvd.dom.zeros().setblock(0, c).setblock(1, b)
+    np.testing.assert_array_equal(np.asarray(Fq(m_inf)),
+                                  np.asarray(Fvd(m_vd)))
+
+    m_20 = (Fq.dom.zeros().setblock(0, c).setblock(1, b)
+            .setblock(2, jnp.full((20, 20), 20.0, jnp.float64)))
+    e_inf = float(jnp.sum(Fq(m_inf) ** 2))
+    e_20 = float(jnp.sum(Fq(m_20) ** 2))
+    assert e_inf > e_20 > 0
+
+    J = Fq.linearize(m_20)
+    mm = J.dom.randn(jax.random.PRNGKey(25))
+    dd = J.rng.randn(jax.random.PRNGKey(26))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_3d_iota_mask_and_sponge_factors_bit_exact():
+    """The 3-D step's in-register source mask (iota compare) and per-axis
+    sponge-factor product are BIT-identical to the stored dense mask /
+    full-grid sponge they replace, checked at the single-jitted-step level
+    (exact in f32 — same values, same product tree). The whole-propagator
+    pin against an EAGER dense-reference loop is rtol-tight instead:
+    lax.scan + jax.checkpoint round the carry differently from an eager
+    Python loop at the few-ulp level, for old and new step forms alike
+    (the old→new rewrite itself was verified output-bitwise on TPU and CPU
+    before landing)."""
+    from jets_tpu.ops.wave import (_iota_src_mask, _mul_sponge, _ricker,
+                                   _sponge, _sponge_factors)
+
+    # --- single-step bitwise guarantees
+    grid = (10, 12, 14)
+    size = 10 * 12 * 14
+    sp_full = _sponge(grid, 3).astype(jnp.float32)
+    factors = tuple(f.astype(jnp.float32) for f in _sponge_factors(grid, 3))
+    e = jax.random.normal(jax.random.PRNGKey(9), grid, jnp.float32)
+    a = jax.jit(lambda e: e * sp_full)(e)
+    b = jax.jit(lambda e: _mul_sponge(e, factors))(e)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m_dense = (jnp.zeros((size,), jnp.float32).at[123].set(2.5e-7)
+               .reshape(grid))
+    m_iota = jax.jit(
+        lambda: _iota_src_mask(grid, 123, jnp.float32(2.5e-7)))()
+    np.testing.assert_array_equal(np.asarray(m_dense), np.asarray(m_iota))
+
+    # --- whole-propagator pin vs eager dense reference (rtol-tight)
+    nt, dt, dx = 16, 5e-4, 10.0
+    src = 3 * 12 * 14 + 5 * 14 + 6
+    F = wave_propagator(grid, nt=nt, dt=dt, dx=dx, freq=18.0, src_idx=src,
+                        sponge_width=3, dtype=jnp.float64)
+    c = jnp.full(grid, 1800.0, jnp.float64) + 10.0 * jax.random.normal(
+        jax.random.PRNGKey(0), grid, jnp.float64)
+    d = F(c)
+    sponge = _sponge(grid, 3).astype(jnp.float64)
+    mask = jnp.zeros((size,), jnp.float64).at[src].set(dt * dt).reshape(grid)
+    wav = _ricker(nt, dt, 18.0, jnp.float64)
+    c2dt2 = (c * c) * (dt * dt) / (dx * dx)
+    u_prev = u = jnp.zeros(grid, jnp.float64)
+    recs = []
+    n = F.rng.shape[1]
+    rcv = jnp.arange(0, size, max(1, size // 128))[:128][:n]
+    for t in range(nt):
+        u_next = (2.0 * u - u_prev + c2dt2 * laplacian_nd(u)) * sponge \
+            + wav[t] * mask
+        recs.append(u_next.reshape(-1)[rcv])
+        u_prev, u = u, u_next
+    ref = jnp.stack(recs)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref),
+                               rtol=3e-7, atol=0)
