@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--physics", default="iso",
                     choices=["iso", "vti", "q", "vd", "vdq", "cpml"])
     ap.add_argument("--order", type=int, default=2)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="force the XLA step (A/B vs the Pallas fused step)")
     args = ap.parse_args()
 
     from jets_tpu.ops import wave as W
@@ -56,8 +58,9 @@ def main():
         kw = dict(nt=nt, dt=5e-4, dx=10.0, freq=15.0, src_idx=7,
                   dtype=jnp.float32)
         if args.physics == "iso":
-            return W.wave_propagator(shape, sponge_width=12,
-                                     space_order=args.order, **kw)
+            return W.wave_propagator(
+                shape, sponge_width=12, space_order=args.order,
+                fused=False if args.no_fused else None, **kw)
         if args.physics == "vti":
             return W.vti_wave_propagator(shape, sponge_width=12,
                                          space_order=args.order, **kw)

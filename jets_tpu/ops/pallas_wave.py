@@ -1,0 +1,252 @@
+"""Fused Pallas TPU kernel for the 3-D leapfrog wave step.
+
+In the HBM-bound 3-D regime (256³ f32) the XLA scan body does NOT fuse the
+Laplacian into the leapfrog update: the measured step (614 µs after the
+round-3 in-register sponge/source rewrite) implies ~7.5 full-grid HBM
+touches — a separate stencil pass (read u, write lap), the update pass
+(read lap/u/u_prev/c², write u_next), plus the while-loop carry rotation.
+The minimum for the physics is FOUR touches: read ``u`` (stencilled),
+``u_prev``, ``c²dt²``, write ``u_next``. This kernel does exactly that —
+one slab-pipelined pass reusing the double-buffered DMA ring of
+``pallas_solver._lap3d_kernel`` (guide: /opt/skills/guides/pallas_guide.md),
+with the leapfrog update, the per-axis sponge product and the in-register
+iota source mask fused into the stencil's epilogue, and ``u_prev`` aliased
+in place to ``u_next``. Measured inside the real propagator scan on TPU
+v5e (256³ f32, marginal over two nt budgets): **420 µs/step = 1.46× the
+XLA step** — but ONLY with the scan body paired two-steps-per-iteration
+(``ops/wave.py``): unpaired, the carry rotation forced copies around the
+aliased kernel and the same kernel LOST to XLA (728 µs). Always measure
+in the loop.
+
+Bit-exactness contract (gated by ``tests/test_pallas_wave.py``): the kernel
+reproduces the EXACT floating-point operation tree of the XLA step in
+``ops/wave.py::_propagate``::
+
+    lap    = laplacian_nd add order          (ops/stencil.py:91-128)
+    e      = (2·u − u_prev) + c²dt²·lap
+    u_next = e·((sz·sy)·sx) + s_t·mask       (mask = amp one-hot at src)
+
+so the fused and XLA paths are interchangeable mid-solve. The sponge enters
+as the precomputed ``szy = sz⊗sy`` plane and ``sx`` row — ``szy·sx`` is the
+same multiplication tree as ``_mul_sponge``'s ``(sz·sy)·sx``.
+
+Differentiation: the kernel is wrapped in ``jax.custom_jvp`` inside
+``ops/wave.py`` (tangent = the XLA leapfrog expression, which JAX also
+transposes for the adjoint), so FWI gradients are untouched; only the
+nonlinear forward rides the fused kernel.
+
+Reference parity: this is the TPU equivalent of JetPackWaveFD's hand-tuned
+C++ propagator kernels (the reference family's compute core; Jets.jl itself
+is pure calculus, ``src/Jets.jl:1-1293``).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import _D2_COEFFS
+
+__all__ = ["fused_leapfrog_step", "wave_step_tile", "fits_wave_pallas"]
+
+
+def _wave_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
+                 u_hbm, out_blk, scratch, sems, *, T, D, H, W, order):
+    """One (T,H,W) slab of ``u_next``; ``u`` streamed via the DMA ring."""
+    c0, cs = _D2_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw  # slab + hw halo slices per side
+
+    def center_dma(j, sl):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T, T)],
+            scratch.at[pl.ds(sl * P + hw, T)],
+            sems.at[sl, 0],
+        )
+
+    def front_dma(j, sl):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T - hw, hw)],
+            scratch.at[pl.ds(sl * P, hw)],
+            sems.at[sl, 1],
+        )
+
+    def back_dma(j, sl):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T + T, hw)],
+            scratch.at[pl.ds(sl * P + hw + T, hw)],
+            sems.at[sl, 2],
+        )
+
+    def start_slab(j, sl):
+        center_dma(j, sl).start()
+
+        @pl.when(j > 0)
+        def _():
+            front_dma(j, sl).start()
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back_dma(j, sl).start()
+
+    def wait_slab(j, sl):
+        center_dma(j, sl).wait()
+
+        @pl.when(j > 0)
+        def _():
+            front_dma(j, sl).wait()
+
+        @pl.when(j == 0)
+        def _():
+            scratch[pl.ds(sl * P, hw)] = jnp.zeros((hw, H, W), scratch.dtype)
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back_dma(j, sl).wait()
+
+        @pl.when(j == nsl - 1)
+        def _():
+            scratch[pl.ds(sl * P + hw + T, hw)] = jnp.zeros(
+                (hw, H, W), scratch.dtype
+            )
+
+    @pl.when(i == 0)
+    def _():
+        start_slab(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        start_slab(i + 1, nslot)  # one slab of prefetch
+
+    wait_slab(i, slot)
+
+    base = slot * P
+    c = scratch[pl.ds(base + hw, T)]
+    # EXACT add order of ops/stencil.laplacian_nd: (c0·nd)·c, then per axis
+    # (z,y,x) per tap s=1..hw: "+ lo + hi" when the coefficient is 1.0,
+    # "+ coef·(lo+hi)" otherwise (the bit-exactness contract).
+    lap = (c0 * 3.0) * c
+    for s, coef in enumerate(cs, start=1):
+        zlo = scratch[pl.ds(base + hw - s, T)]
+        zhi = scratch[pl.ds(base + hw + s, T)]
+        if coef == 1.0:
+            lap = lap + zlo + zhi
+        else:
+            lap = lap + coef * (zlo + zhi)
+    for s, coef in enumerate(cs, start=1):
+        ylo = jnp.pad(c[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
+        yhi = jnp.pad(c[:, s:, :], ((0, 0), (0, s), (0, 0)))
+        if coef == 1.0:
+            lap = lap + ylo + yhi
+        else:
+            lap = lap + coef * (ylo + yhi)
+    for s, coef in enumerate(cs, start=1):
+        xlo = jnp.pad(c[:, :, :-s], ((0, 0), (0, 0), (s, 0)))
+        xhi = jnp.pad(c[:, :, s:], ((0, 0), (0, 0), (0, s)))
+        if coef == 1.0:
+            lap = lap + xlo + xhi
+        else:
+            lap = lap + coef * (xlo + xhi)
+
+    e = (2.0 * c - up_blk[...]) + c2_blk[...] * lap
+    # sponge: e·((sz·sy)·sx) — sz comes from SMEM as T scalars stacked to a
+    # (T,1,1) column (a (T,H) VMEM block would break the (8,128) tiling
+    # rule for small T, and a dynamic sublane slice of a resident (D,H)
+    # plane needs an 8-aligned start Mosaic can't prove for T=4); sy is
+    # (H,1) so the (sz·sy)·sx product broadcasts into the block with no
+    # relayout. The scalar tree matches _mul_sponge exactly.
+    s_t = scal_ref[0]
+    amp = scal_ref[1]
+    # in-register one-hot source, per slice: flat = (z·H + y)·W + x
+    iy = lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
+    yx = iy * W + ix
+    for t in range(T):
+        plane = (spz_ref[i * T + t] * sy_blk[...]) * sx_blk[...]
+        flat_t = (i * T + t) * (H * W) + yx
+        mask_t = jnp.where(flat_t == idx_ref[0], amp, jnp.zeros_like(amp))
+        out_blk[pl.ds(t, 1)] = e[t:t + 1] * plane[None] + s_t * mask_t
+
+
+def wave_step_tile(shape, order: int, itemsize: int = 4):
+    """Largest z tile: DMA ring 2·(T+2·hw) slices + 3 blocked grid arrays
+    double-buffered (6·T) within ~12 MB of VMEM; T must cover the halo."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        vmem = (2 * (t + 2 * hw) + 6 * t) * H * W * itemsize
+        if vmem <= 12 * 2**20:
+            return t
+    return None
+
+
+def fits_wave_pallas(shape, dtype, order: int) -> bool:
+    """True when the fused step applies: 3-D f32 grid, lane/sublane-aligned
+    minor dims, VMEM-feasible z tile covering the stencil halo."""
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    return wave_step_tile(shape, order) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("order", "interpret"))
+def fused_leapfrog_step(u_prev, u, c2dt2, spz, sy, sx, s_t, src_idx, amp, *,
+                        order: int = 2, interpret: bool = False):
+    """``u_next = ((2u − u_prev) + c²dt²·lap(u))·((sz·sy)·sx) + s_t·mask``
+    in ONE slab-pipelined HBM pass (4 grid touches; ``u_prev`` aliased in
+    place to ``u_next``). ``spz``/``sy``/``sx`` are the per-axis sponge
+    factors shaped ``(D,)`` (SMEM), ``(H, 1)`` and ``(1, W)``; ``src_idx``
+    is the flat source index, ``amp`` the injection amplitude (``dt²`` for
+    the isotropic propagator). Raw kernel — no autodiff rules;
+    ``ops/wave.py`` wraps it in ``custom_jvp``."""
+    D, H, W = u.shape
+    T = wave_step_tile(u.shape, order, u.dtype.itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {u.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.stack([jnp.asarray(s_t, u.dtype), jnp.asarray(amp, u.dtype)])
+    sidx = jnp.asarray(src_idx, jnp.int32).reshape(1)
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_wave_kernel, T=T, D=D, H=H, W=W, order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vspec,
+            vspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((D, H, W), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), u.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        # u_prev is consumed by this step: write u_next into its buffer
+        # (safe: each block is read before its output block is stored;
+        # skipped in interpret mode where eager aliasing clobbers)
+        input_output_aliases={} if interpret else {5: 0},
+        interpret=interpret,
+    )(scal, sidx, spz, sy, sx, u_prev, c2dt2, u)

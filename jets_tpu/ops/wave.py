@@ -206,7 +206,8 @@ def _scan_remat(step, carry, xs, remat_blocks: int):
 
 
 def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
-               remat_blocks, order: int = 2, src_mask=None, extract=None):
+               remat_blocks, order: int = 2, src_mask=None, extract=None,
+               fused=None):
     """Leapfrog time stepping; returns receiver traces (nt, nrcv).
 
     ``remat_blocks`` groups time steps into checkpointed segments so
@@ -215,6 +216,14 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     spatial accuracy of the Laplacian (2/4/8 — the JetPackWaveFD ladder).
     ``src_mask``/``extract`` override the default on-grid point injection /
     flat-gather extraction (used by the off-grid Kaiser-sinc geometry).
+
+    ``fused`` selects the Pallas fused-step kernel
+    (``pallas_wave.fused_leapfrog_step``: stencil + leapfrog + sponge +
+    source in ONE slab-pipelined HBM pass). ``None`` = auto: on in the 3-D
+    HBM-bound regime on TPU backends, off on CPU and whenever the config
+    doesn't fit (custom src_mask, non-f32, unaligned minor dims). Callers
+    that vmap this function (multishot) must pass ``fused=False`` — the
+    kernel's manual DMAs don't batch.
     """
     shape = c.shape
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
@@ -239,20 +248,98 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         extract = lambda u: u.reshape(-1)[rcv_idx]  # noqa: E731
     amp = jnp.asarray(dt * dt, c.dtype)
 
-    def step(carry, s_t):
-        u_prev, u = carry
-        lap = _laplacian(u, order=order)
-        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
-        u_next = _mul_sponge(2.0 * u - u_prev + c2dt2 * lap, sponge) \
-            + s_t * mask
-        rec = extract(u_next)
-        return (u, u_next), rec
+    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_wave_pallas
+
+        can_fuse = fits_wave_pallas(shape, c.dtype, order)
+    if fused is None:
+        fused = can_fuse and jax.default_backend() != "cpu"
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused wave step requires a 3-D f32 grid with aligned minor "
+            "dims and the default on-grid source/receivers"
+        )
+
+    if fused:
+        from .pallas_wave import fused_leapfrog_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]                 # (D,) → SMEM
+        spy = sponge[1][0]                       # (H, 1)
+        spx = sponge[2][0]                       # (1, W)
+
+        # The Pallas kernel has no autodiff rules: wrap it in custom_jvp
+        # with the XLA leapfrog expression as the tangent (linear in the
+        # tangents, so JAX also transposes it for the adjoint/FWI path —
+        # only the nonlinear forward rides the fused kernel).
+        @jax.custom_jvp
+        def step_core(u_prev, u, c2, s_t):
+            return fused_leapfrog_step(
+                u_prev, u, c2, spz, spy, spx, s_t, src_idx, amp,
+                order=order, interpret=interp,
+            )
+
+        @step_core.defjvp
+        def _step_jvp(primals, tangents):
+            up, u, c2, st = primals
+            dup, du, dc2, dst = tangents
+            out = step_core(up, u, c2, st)
+            mask = _iota_src_mask(shape, src_idx, amp)
+            dout = _mul_sponge(
+                2.0 * du - dup + dc2 * _laplacian(u, order=order)
+                + c2 * _laplacian(du, order=order), sponge
+            ) + dst * mask
+            return out, dout
+
+        def step(carry, s_t):
+            u_prev, u = carry
+            u_next = step_core(u_prev, u, c2dt2, s_t)
+            rec = extract(u_next)
+            return (u, u_next), rec
+    else:
+        def step(carry, s_t):
+            u_prev, u = carry
+            lap = _laplacian(u, order=order)
+            mask = (_iota_src_mask(shape, src_idx, amp) if iota_src
+                    else src_mask)
+            u_next = _mul_sponge(2.0 * u - u_prev + c2dt2 * lap, sponge) \
+                + s_t * mask
+            rec = extract(u_next)
+            return (u, u_next), rec
 
     # seed the carry with a src-derived zero so its batching/varying type
     # already matches the loop body's output under vmap/shard_map (the
     # source mask is per-shot data)
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
+
+    if fused:
+        # Fused-kernel path: unroll TWO time steps per scan iteration. The
+        # leapfrog carry (u_prev, u) -> (u, u_next) ROTATES positions; the
+        # paired body (u_prev, u) -> (u2, u3) writes both slots fresh, so
+        # the kernel's u_prev->u_next aliasing donates cleanly and no
+        # rotation copy appears (measured on 256³ f32 TPU v5e: XLA 613,
+        # fused unpaired 728, fused paired 426 µs/step). The SAME unroll
+        # applied to the XLA path is a REGRESSION (613 -> 782 µs: XLA
+        # already elides the rotation, and the paired body adds live
+        # buffers that de-fuse), so it is tied to `fused`, not to ndim.
+        one_step = step
+
+        def step(carry, s_pair):
+            c1, r1 = one_step(carry, s_pair[0])
+            c2_, r2 = one_step(c1, s_pair[1])
+            return c2_, jnp.stack((r1, r2))
+
+        pad = nt % 2
+        wav = src_wavelet
+        if pad:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xs = wav.reshape(((nt + pad) // 2, 2) + wav.shape[1:])
+        (_, _), traces = _scan_remat(step, (u0, u0), xs, remat_blocks)
+        return traces.reshape((nt + pad,) + traces.shape[2:])[:nt]
+
     (_, _), traces = _scan_remat(step, (u0, u0), src_wavelet, remat_blocks)
     return traces
 
@@ -270,9 +357,13 @@ def wave_propagator(
     space_order: int = 2,
     remat_blocks: int = 1,
     free_surface: bool = False,
+    fused=None,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward-modeling operator ``F: velocity c → traces d``.
+
+    ``fused`` controls the Pallas fused-step fast path for 3-D grids
+    (``None`` = auto on TPU; see :func:`_propagate`).
 
     Domain: the velocity grid. Range: ``(nt, nrcv)`` receiver traces.
     Tangent/adjoint are JAX jvp/vjp through the rematerialized scan — the
@@ -282,6 +373,14 @@ def wave_propagator(
     """
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
+    if fused:
+        from .pallas_wave import fits_wave_pallas
+
+        if not fits_wave_pallas(grid_shape, dtype, space_order):
+            raise ValueError(
+                "fused wave step requires a 3-D f32 grid with "
+                "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+            )
     sp = Space(grid_shape, dtype)
     if rcv_idx is None:
         n = sp.size
@@ -296,7 +395,7 @@ def wave_propagator(
         return _propagate(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"],
-            remat_blocks=remat_blocks, order=space_order,
+            remat_blocks=remat_blocks, order=space_order, fused=fused,
         )
 
     def _df(dc, m0, state):
@@ -428,6 +527,7 @@ def multishot_wave_operator(
             c, bs["wavelet"], bs["src"], bs["rcv"],
             dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=remat_blocks,
             order=space_order,
+            fused=False,  # vmapped per shot: manual DMAs don't batch
         )
 
     def shot_df(dc, c0, bs):
@@ -1320,6 +1420,82 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
     return traces
 
 
+def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
+                     rcv_idx, *, dt, dx, sponge, order: int = 2,
+                     remat_blocks: int = 1):
+    """3-D tilted-TI pseudo-acoustics with azimuth. The symmetry axis is
+    the unit vector ``n = (cosθ, sinθ·cosφ, sinθ·sinφ)`` in (z, y, x); the
+    rotated vertical operator is the directional second derivative
+
+        V(u) = Σᵢ nᵢ² ∂ᵢᵢu + Σ_{i<j} 2nᵢnⱼ ∂ᵢⱼu
+
+    and the rotated horizontal operator ``H = ∇² − V`` is expanded with
+    explicit ``(1 − nᵢ²)`` / ``−2nᵢnⱼ`` coefficients so that at
+    ``θ = 0`` every multiplier is exactly 0 or 1 and the scheme reduces
+    to the 3-D VTI propagator to FMA-grouping noise (pinned at rtol 1e-12
+    by the suite, like the 2-D tilt pin) — JetPackWaveFD's 3-D
+    ``Prop3DAcoTTIDenQ`` parameterization."""
+    shape = c.shape
+    c2dt2 = (c * c) * (dt * dt)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
+    inv_dx = jnp.asarray(1.0 / dx, c.dtype)
+    ah = 1.0 + 2.0 * eps
+    av = jnp.sqrt(1.0 + 2.0 * delta)
+    nz = jnp.cos(theta)
+    st = jnp.sin(theta)
+    ny = st * jnp.cos(phi)
+    nx = st * jnp.sin(phi)
+    czz, cyy, cxx = nz * nz, ny * ny, nx * nx
+    czy, czx, cyx = 2.0 * nz * ny, 2.0 * nz * nx, 2.0 * ny * nx
+
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(dt * dt, c.dtype)
+    if not iota_src:
+        size = 1
+        for s in shape:
+            size *= int(s)
+        src_mask = (
+            jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
+
+    def _dij(u, i, j):
+        return _d1_axis(_d1_axis(u, i, inv_dx, order), j, inv_dx, order)
+
+    def _HV(u):
+        uzz = _d2_axis(u, 0, inv_dx2, order)
+        uyy = _d2_axis(u, 1, inv_dx2, order)
+        uxx = _d2_axis(u, 2, inv_dx2, order)
+        uzy = _dij(u, 0, 1)
+        uzx = _dij(u, 0, 2)
+        uyx = _dij(u, 1, 2)
+        V = (czz * uzz + cyy * uyy + cxx * uxx
+             + czy * uzy + czx * uzx + cyx * uyx)
+        H = ((1.0 - czz) * uzz + (1.0 - cyy) * uyy + (1.0 - cxx) * uxx
+             - czy * uzy - czx * uzx - cyx * uyx)
+        return H, V
+
+    def step(carry, s_t):
+        p_prev, p, q_prev, q = carry
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
+        Hp, _ = _HV(p)
+        _, Vq = _HV(q)
+        p_next = _mul_sponge(2.0 * p - p_prev
+                             + c2dt2 * (ah * Hp + av * Vq), sponge) \
+            + s_t * mask
+        q_next = _mul_sponge(2.0 * q - q_prev
+                             + c2dt2 * (av * Hp + Vq), sponge) \
+            + s_t * mask
+        rec = p_next.reshape(-1)[rcv_idx]
+        return (p, p_next, q, q_next), rec
+
+    zero = (src_idx * 0).astype(c.dtype)
+    u0 = jnp.zeros(shape, c.dtype) + zero
+    (_, _, _, _), traces = _scan_remat(
+        step, (u0, u0, u0, u0), src_wavelet, remat_blocks)
+    return traces
+
+
 def tti_wave_propagator(
     grid_shape: Sequence[int],
     *,
@@ -1334,20 +1510,26 @@ def tti_wave_propagator(
     remat_blocks: int = 1,
     dtype=jnp.float32,
 ) -> Operator:
-    """Four-parameter TTI anisotropic forward modeling (2-D)
-    ``F: (c, ε, δ, θ) → traces`` — JetPackWaveFD's tilted-TI physics.
-    Domain: ``BlockSpace([grid] * 4)`` (vertical velocity, Thomsen ε/δ,
-    tilt θ in radians). ``θ = 0`` reduces exactly to
-    :func:`vti_wave_propagator` (pinned). Conditionally stable like all
-    pseudo-acoustic TTI schemes: keep ``ε ≥ δ`` and θ smooth."""
+    """TTI anisotropic forward modeling — JetPackWaveFD's tilted-TI physics.
+
+    2-D: four-parameter ``F: (c, ε, δ, θ) → traces`` (tilt θ in the x-z
+    plane). 3-D: five-parameter ``F: (c, ε, δ, θ, φ) → traces`` with
+    azimuth φ (the symmetry axis ``n = (cosθ, sinθcosφ, sinθsinφ)`` —
+    the reference family's ``Prop3DAcoTTIDenQ`` parameter set). Domain:
+    ``BlockSpace([grid] * nparams)`` (vertical velocity, Thomsen ε/δ, tilt,
+    and azimuth in 3-D; angles in radians). ``θ = 0`` reduces exactly to
+    :func:`vti_wave_propagator` in BOTH dimensions (pinned). Conditionally
+    stable like all pseudo-acoustic TTI schemes: keep ``ε ≥ δ`` and the
+    angle fields smooth."""
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
-    if len(grid_shape) != 2:
-        raise ValueError("tti_wave_propagator is 2-D")
+    if len(grid_shape) not in (2, 3):
+        raise ValueError("tti_wave_propagator supports 2-D and 3-D grids")
+    three_d = len(grid_shape) == 3
     gsp = Space(grid_shape, dtype)
-    dom = BlockSpace([gsp, gsp, gsp, gsp])
+    dom = BlockSpace([gsp] * (5 if three_d else 4))
     if rcv_idx is None:
         n = gsp.size
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
@@ -1357,6 +1539,14 @@ def tti_wave_propagator(
     rng = Space((nt, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
+        if three_d:
+            return _propagate_tti3d(
+                m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
+                m.getblock(4),
+                state["wavelet"], state["src_idx"], state["rcv_idx"],
+                dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
+                remat_blocks=remat_blocks,
+            )
         return _propagate_tti(
             m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
             state["wavelet"], state["src_idx"], state["rcv_idx"],

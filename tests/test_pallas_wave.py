@@ -1,0 +1,136 @@
+"""Gates for the fused Pallas 3-D wave step (``ops/pallas_wave.py``).
+
+Scope of the bit-exactness contract (same as the 3-D solver kernels,
+``ops/pallas_solver.py``): at ``order=2`` the kernel reproduces the jitted
+XLA step bit-for-bit; at orders 4/8 XLA fuses the coefficient
+multiply-accumulates into FMAs that the kernel (and interpret mode)
+evaluates as separate ops, so equality there is to a few ulps.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jets_tpu as jt
+from jets_tpu.ops.pallas_wave import (
+    fits_wave_pallas,
+    fused_leapfrog_step,
+    wave_step_tile,
+)
+from jets_tpu.ops.stencil import laplacian_nd
+from jets_tpu.ops.wave import wave_propagator
+
+SHAPE = (16, 8, 128)
+
+
+def _inputs(order, key=0):
+    D, H, W = SHAPE
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(key), 3)
+    u = jax.random.normal(k1, SHAPE, jnp.float32)
+    up = jax.random.normal(k2, SHAPE, jnp.float32)
+    c2 = jax.random.uniform(k3, SHAPE, jnp.float32) + 0.5
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+    src = 5 * H * W + 3 * W + 17
+    s_t, amp = jnp.float32(0.37), jnp.float32(2.5e-7)
+
+    @jax.jit
+    def xla_step(up, u, c2):
+        D, H, W = SHAPE
+        lap = laplacian_nd(u, order=order)
+        mask = (jnp.zeros((D * H * W,), jnp.float32).at[src].set(amp)
+                .reshape(SHAPE))
+        sponge = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(
+            1, 1, W)
+        return ((2.0 * u - up) + c2 * lap) * sponge + s_t * mask
+
+    return (up, u, c2, sz, sy.reshape(H, 1), sx.reshape(1, W), s_t, src,
+            amp), xla_step
+
+
+def test_fused_step_bit_exact_order2():
+    (up, u, c2, sz, sy, sx, s_t, src, amp), xla_step = _inputs(2)
+    out = fused_leapfrog_step(up, u, c2, sz, sy, sx, s_t, src, amp,
+                              order=2, interpret=True)
+    want = xla_step(up, u, c2)
+    assert np.array_equal(np.asarray(out), np.asarray(want)), \
+        "order-2 fused step must be bit-exact vs the jitted XLA step"
+
+
+@pytest.mark.parametrize("order", [4, 8])
+def test_fused_step_matches_higher_orders(order):
+    (up, u, c2, sz, sy, sx, s_t, src, amp), xla_step = _inputs(order)
+    out = fused_leapfrog_step(up, u, c2, sz, sy, sx, s_t, src, amp,
+                              order=order, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla_step(
+        up, u, c2)), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_step_source_injection_exact():
+    """The in-register iota mask lands amp·s_t at exactly the source cell."""
+    (up, u, c2, sz, sy, sx, s_t, src, _), _ = _inputs(2)
+    amp = jnp.float32(0.125)  # exactly representable against an O(10) field
+    a = fused_leapfrog_step(up, u, c2, sz, sy, sx, s_t, src, amp,
+                            order=2, interpret=True)
+    b = fused_leapfrog_step(up, u, c2, sz, sy, sx, s_t, src, jnp.float32(0.0),
+                            order=2, interpret=True)
+    d = np.array(a - b).ravel()
+    np.testing.assert_allclose(d[src], 0.37 * 0.125, rtol=1e-5)
+    d[src] = 0.0
+    assert not d.any(), "source must touch exactly one cell"
+
+
+def test_fits_and_tile_gating():
+    assert fits_wave_pallas(SHAPE, jnp.float32, 2)
+    assert not fits_wave_pallas((16, 8, 100), jnp.float32, 2)  # lanes
+    assert not fits_wave_pallas((16, 8), jnp.float32, 2)       # 2-D
+    assert not fits_wave_pallas(SHAPE, jnp.float64, 2)          # dtype
+    assert wave_step_tile(SHAPE, 8) >= 4                        # halo fits
+    with pytest.raises(ValueError, match="fused wave step"):
+        wave_propagator((8, 8), nt=4, fused=True)
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_fused_propagator_matches_xla_path(order):
+    """Full fused-path propagator ≈ the XLA path over a whole scan, and its
+    custom-jvp tangent/adjoint pass the dot-product gate."""
+    kw = dict(nt=40, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              sponge_width=3, space_order=order, dtype=jnp.float32)
+    Ff = wave_propagator(SHAPE, fused=True, **kw)
+    Fx = wave_propagator(SHAPE, fused=False, **kw)
+    c = jnp.full(SHAPE, 1500.0, jnp.float32) + 20.0 * jax.random.normal(
+        jax.random.PRNGKey(5), SHAPE, jnp.float32)
+    df, dx_ = Ff(c), Fx(c)
+    scale = float(jnp.max(jnp.abs(dx_))) or 1.0
+    np.testing.assert_allclose(np.asarray(df) / scale,
+                               np.asarray(dx_) / scale, atol=5e-5)
+
+    J = Ff.linearize(c)
+    m = J.dom.randn(jax.random.PRNGKey(6)).astype(jnp.float32)
+    d = J.rng.randn(jax.random.PRNGKey(7)).astype(jnp.float32)
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    # the tangent is the SAME XLA expression on both paths: gradients of
+    # the fused and unfused propagators must agree tightly
+    gf = jax.grad(lambda cc: jnp.sum(Ff(cc) ** 2))(c)
+    gx = jax.grad(lambda cc: jnp.sum(Fx(cc) ** 2))(c)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-5 * float(
+                                   jnp.max(jnp.abs(gx))))
+
+
+def test_fused_propagator_remat_path():
+    """Blocked remat composes with the custom-jvp fused step (gradient
+    equality vs the plain-checkpoint fused path)."""
+    kw = dict(nt=24, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              sponge_width=3, dtype=jnp.float32)
+    F1 = wave_propagator(SHAPE, fused=True, remat_blocks=1, **kw)
+    F4 = wave_propagator(SHAPE, fused=True, remat_blocks=4, **kw)
+    c = jnp.full(SHAPE, 1500.0, jnp.float32)
+    g1 = jax.grad(lambda cc: jnp.sum(F1(cc) ** 2))(c)
+    g4 = jax.grad(lambda cc: jnp.sum(F4(cc) ** 2))(c)
+    assert np.array_equal(np.asarray(g1), np.asarray(g4))

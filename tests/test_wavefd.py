@@ -845,3 +845,76 @@ def test_3d_iota_mask_and_sponge_factors_bit_exact():
     ref = jnp.stack(recs)
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref),
                                rtol=3e-7, atol=0)
+
+
+# ---------------------------------------------------------------------- #
+# 3-D TTI anisotropy (five-parameter block domain: c, eps, delta, theta, phi)
+# ---------------------------------------------------------------------- #
+
+_TTI3D_SHAPE = (12, 10, 14)
+
+
+def _tti3d_propagator():
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    return tti_wave_propagator(
+        _TTI3D_SHAPE, nt=36, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=int(np.ravel_multi_index((6, 5, 7), _TTI3D_SHAPE)),
+        sponge_width=3, dtype=jnp.float64,
+    )
+
+
+def _tti3d_point(eps=0.1, delta=0.05, theta=0.0, phi=0.0):
+    F = _tti3d_propagator()
+    full = lambda v: jnp.full(_TTI3D_SHAPE, v, jnp.float64)  # noqa: E731
+    m = F.dom.zeros().setblock(0, full(2000.0)).setblock(1, full(eps))
+    return (m.setblock(2, full(delta)).setblock(3, full(theta))
+            .setblock(4, full(phi)))
+
+
+def test_tti3d_reduces_to_vti_at_zero_tilt():
+    """theta=0 makes every rotated-operator multiplier exactly 0 or 1, so
+    the 3-D TTI step equals the 3-D VTI step to FMA-grouping noise (the
+    same tolerance the 2-D pin uses — XLA fuses the bigger TTI graph into
+    different multiply-add groupings)."""
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    d_tti = _tti3d_propagator()(_tti3d_point(theta=0.0, phi=0.7))
+    Fv = vti_wave_propagator(
+        _TTI3D_SHAPE, nt=36, dt=0.0008, dx=10.0, freq=18.0,
+        src_idx=int(np.ravel_multi_index((6, 5, 7), _TTI3D_SHAPE)),
+        sponge_width=3, dtype=jnp.float64,
+    )
+    full = lambda v: jnp.full(_TTI3D_SHAPE, v, jnp.float64)  # noqa: E731
+    mv = (Fv.dom.zeros().setblock(0, full(2000.0))
+          .setblock(1, full(0.1)).setblock(2, full(0.05)))
+    d_vti = Fv(mv)
+    np.testing.assert_allclose(np.asarray(d_tti), np.asarray(d_vti),
+                               rtol=1e-12, atol=1e-20)
+
+
+def test_tti3d_elliptic_isotropic_limit():
+    """eps = delta = 0 with p == q collapses H + V to the plain Laplacian:
+    any tilt/azimuth must then leave the wavefield (nearly) isotropic."""
+    d0 = _tti3d_propagator()(_tti3d_point(eps=0.0, delta=0.0,
+                                          theta=0.0, phi=0.0))
+    d1 = _tti3d_propagator()(_tti3d_point(eps=0.0, delta=0.0,
+                                          theta=0.6, phi=1.1))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-9, atol=1e-18)
+
+
+def test_tti3d_azimuth_changes_kinematics():
+    d0 = _tti3d_propagator()(_tti3d_point(theta=0.5, phi=0.0))
+    d1 = _tti3d_propagator()(_tti3d_point(theta=0.5, phi=1.2))
+    assert float(jnp.max(jnp.abs(d1 - d0))) > 1e-4 * float(
+        jnp.max(jnp.abs(d0)))
+
+
+def test_tti3d_jacobian_dot_product_gate():
+    F = _tti3d_propagator()
+    J = F.linearize(_tti3d_point(theta=0.4, phi=0.9))
+    m = J.dom.randn(jax.random.PRNGKey(40))
+    d = J.rng.randn(jax.random.PRNGKey(41))
+    lhs, rhs = jt.dot_product_test(J, m, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
