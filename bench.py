@@ -114,6 +114,27 @@ def main():
     iters3d_per_s = 400 / max(t3_hi - t3_lo, 1e-9)
     _stage(f"3-D lsqr done ({1e3/iters3d_per_s:.2f} ms/iter); matvec loop")
 
+    # ---- 3-D wave step (fused Pallas path, marginal between nt budgets)
+    _stage("timing 3-D fused wave step")
+    from jets_tpu.ops.wave import wave_propagator
+
+    wshape = (256, 256, 256)
+    cs = [jnp.full(wshape, 1500.0 + 10.0 * i, jnp.float32)
+          for i in range(4)]
+    jax.block_until_ready(cs)
+    wread = lambda r: float(r)
+
+    def wave_time(nt):
+        F = wave_propagator(wshape, nt=nt, dt=5e-4, dx=10.0, freq=15.0,
+                            src_idx=7, sponge_width=12, dtype=jnp.float32)
+        g = jax.jit(lambda c: jnp.sum(F(c) ** 2))
+        t, _ = _timed(g, wread, [(c,) for c in cs])
+        return t
+
+    wt_lo, wt_hi = wave_time(20), wave_time(220)
+    wave_step_us = (wt_hi - wt_lo) / 200 * 1e6
+    _stage(f"wave step done ({wave_step_us:.0f} us/step); matvec pair loop")
+
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
         lambda m, k: jnp.sum(
@@ -143,6 +164,9 @@ def main():
                 "lsqr3d_iterations_per_s": round(iters3d_per_s, 3),
                 "lsqr3d_iter_ms": round(1e3 / iters3d_per_s, 4),
                 "config3d": "grid=(256,256,256), nshots=16, nrecv=4096, f32",
+                "wave3d_step_us": round(wave_step_us, 2),
+                "wave3d_gcell_steps_per_s": round(
+                    256**3 / wave_step_us / 1e3, 2),
                 "relative_residual": round(resid_rel, 6),
                 "config": f"grid={GRID}, nshots={NSHOTS}, nrecv={NRECV}, f32",
                 "device": str(jax.devices()[0]),

@@ -62,5 +62,6 @@ from .core.verify import (
     linearization_test,
     materialize,
 )
+from . import utils  # noqa: E402  (jt.utils.<...> — checkpoint, codec, ...)
 
 __version__ = "0.1.0"

@@ -1,5 +1,11 @@
 from . import tree
 from .checkpoint import load_checkpoint, save_checkpoint
+from .compression import (
+    SnapshotStore,
+    compress_array,
+    compression_ratio,
+    decompress_array,
+)
 from .dataloader import ShotGatherLoader, ShotGatherStore
 from .guards import assert_finite, checked
 from .hashing import crc32c, tree_hash
@@ -11,6 +17,10 @@ __all__ = [
     "load_checkpoint",
     "ShotGatherStore",
     "ShotGatherLoader",
+    "SnapshotStore",
+    "compress_array",
+    "decompress_array",
+    "compression_ratio",
     "checked",
     "assert_finite",
     "crc32c",
