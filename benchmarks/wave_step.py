@@ -62,8 +62,9 @@ def main():
                 shape, sponge_width=12, space_order=args.order,
                 fused=False if args.no_fused else None, **kw)
         if args.physics == "vti":
-            return W.vti_wave_propagator(shape, sponge_width=12,
-                                         space_order=args.order, **kw)
+            return W.vti_wave_propagator(
+                shape, sponge_width=12, space_order=args.order,
+                fused=False if args.no_fused else None, **kw)
         if args.physics == "q":
             return W.q_wave_propagator(shape, sponge_width=12,
                                        space_order=args.order, **kw)

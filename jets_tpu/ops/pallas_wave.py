@@ -52,7 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import _D2_COEFFS
 
-__all__ = ["fused_leapfrog_step", "wave_step_tile", "fits_wave_pallas"]
+__all__ = [
+    "fused_leapfrog_step", "wave_step_tile", "fits_wave_pallas",
+    "fused_vti_step", "vti_step_tile", "fits_vti_pallas",
+]
 
 
 def _wave_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
@@ -250,3 +253,194 @@ def fused_leapfrog_step(u_prev, u, c2dt2, spz, sy, sx, s_t, src_idx, amp, *,
         input_output_aliases={} if interpret else {5: 0},
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, u_prev, c2dt2, u)
+
+
+# ---------------------------------------------------------------------------
+# Fused VTI coupled step — the pseudo-acoustic two-field system
+# (ops/wave.py::_propagate_vti). XLA leaves the 4-carry coupled body
+# heavily de-fused (measured 2403 µs/step on 256³ f32 vs a ~740 µs 9-touch
+# roofline: reads p, q, p_prev, q_prev, c²dt², 1+2ε, √(1+2δ); writes
+# p_next, q_next). This kernel does the whole coupled update in ONE pass:
+# p streams as blocked VMEM (its stencil is HORIZONTAL-only — no z halo),
+# q through the DMA ring (its stencil is vertical-only), both prev fields
+# aliased in place to the outputs.
+# ---------------------------------------------------------------------------
+
+
+def _vti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, p_blk,
+                qp_blk, c2_blk, ah_blk, av_blk, q_hbm, po_blk, qo_blk,
+                scratch, sems, *, T, D, H, W, order):
+    c0, cs = _D2_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw
+
+    def center_dma(j, sl):
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(j * T, T)],
+            scratch.at[pl.ds(sl * P + hw, T)], sems.at[sl, 0])
+
+    def front_dma(j, sl):
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(j * T - hw, hw)],
+            scratch.at[pl.ds(sl * P, hw)], sems.at[sl, 1])
+
+    def back_dma(j, sl):
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(j * T + T, hw)],
+            scratch.at[pl.ds(sl * P + hw + T, hw)], sems.at[sl, 2])
+
+    def start_slab(j, sl):
+        center_dma(j, sl).start()
+
+        @pl.when(j > 0)
+        def _():
+            front_dma(j, sl).start()
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back_dma(j, sl).start()
+
+    def wait_slab(j, sl):
+        center_dma(j, sl).wait()
+
+        @pl.when(j > 0)
+        def _():
+            front_dma(j, sl).wait()
+
+        @pl.when(j == 0)
+        def _():
+            scratch[pl.ds(sl * P, hw)] = jnp.zeros((hw, H, W), scratch.dtype)
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back_dma(j, sl).wait()
+
+        @pl.when(j == nsl - 1)
+        def _():
+            scratch[pl.ds(sl * P + hw + T, hw)] = jnp.zeros(
+                (hw, H, W), scratch.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        start_slab(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        start_slab(i + 1, nslot)
+
+    wait_slab(i, slot)
+
+    inv_dx2 = scal_ref[2]
+    base = slot * P
+    qc = scratch[pl.ds(base + hw, T)]
+    # EXACT _d2_axis tree: out = c0·x; out = out + c·(lo+hi); out·inv_dx2
+    dzz = c0 * qc
+    for s, coef in enumerate(cs, start=1):
+        zlo = scratch[pl.ds(base + hw - s, T)]
+        zhi = scratch[pl.ds(base + hw + s, T)]
+        dzz = dzz + coef * (zlo + zhi)
+    dzz = dzz * inv_dx2
+
+    p = p_blk[...]
+    d2y = c0 * p
+    for s, coef in enumerate(cs, start=1):
+        ylo = jnp.pad(p[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
+        yhi = jnp.pad(p[:, s:, :], ((0, 0), (0, s), (0, 0)))
+        d2y = d2y + coef * (ylo + yhi)
+    d2y = d2y * inv_dx2
+    d2x = c0 * p
+    for s, coef in enumerate(cs, start=1):
+        xlo = jnp.pad(p[:, :, :-s], ((0, 0), (0, 0), (s, 0)))
+        xhi = jnp.pad(p[:, :, s:], ((0, 0), (0, 0), (0, s)))
+        d2x = d2x + coef * (xlo + xhi)
+    d2x = d2x * inv_dx2
+    lh = d2y + d2x  # matches: d2(p,1) + d2(p,2)
+
+    c2 = c2_blk[...]
+    ah = ah_blk[...]
+    av = av_blk[...]
+    e_p = 2.0 * p - pp_blk[...] + c2 * (ah * lh + av * dzz)
+    e_q = 2.0 * qc - qp_blk[...] + c2 * (av * lh + dzz)
+
+    s_t = scal_ref[0]
+    amp = scal_ref[1]
+    iy = lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
+    yx = iy * W + ix
+    for t in range(T):
+        plane = (spz_ref[i * T + t] * sy_blk[...]) * sx_blk[...]
+        flat_t = (i * T + t) * (H * W) + yx
+        mask_t = jnp.where(flat_t == idx_ref[0], amp, jnp.zeros_like(amp))
+        po_blk[pl.ds(t, 1)] = e_p[t:t + 1] * plane[None] + s_t * mask_t
+        qo_blk[pl.ds(t, 1)] = e_q[t:t + 1] * plane[None] + s_t * mask_t
+
+
+def vti_step_tile(shape, order: int, itemsize: int = 4):
+    """8 blocked grid arrays double-buffered (16·T) + the q DMA ring."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        vmem = (2 * (t + 2 * hw) + 16 * t) * H * W * itemsize
+        if vmem <= 12 * 2**20:
+            return t
+    return None
+
+
+def fits_vti_pallas(shape, dtype, order: int) -> bool:
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    return vti_step_tile(shape, order) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("order", "interpret"))
+def fused_vti_step(p_prev, p, q_prev, q, c2dt2, ah, av, spz, sy, sx,
+                   inv_dx2, s_t, src_idx, amp, *, order: int = 2,
+                   interpret: bool = False):
+    """One coupled VTI leapfrog step in a single slab-pipelined pass
+    (9 grid touches — the physics minimum); returns ``(p_next, q_next)``
+    with ``p_prev``/``q_prev`` aliased in place. Raw kernel; ``ops/wave.py``
+    wraps it in ``custom_jvp``."""
+    D, H, W = p.shape
+    T = vti_step_tile(p.shape, order, p.dtype.itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {p.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.stack([jnp.asarray(s_t, p.dtype), jnp.asarray(amp, p.dtype),
+                      jnp.asarray(inv_dx2, p.dtype)])
+    sidx = jnp.asarray(src_idx, jnp.int32).reshape(1)
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_vti_kernel, T=T, D=D, H=H, W=W, order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct((D, H, W), p.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), p.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        input_output_aliases={} if interpret else {5: 0, 7: 1},
+        interpret=interpret,
+    )(scal, sidx, spz, sy, sx, p_prev, p, q_prev, c2dt2, ah, av, q)

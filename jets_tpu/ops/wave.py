@@ -1244,13 +1244,17 @@ def _offgrid_axis_contract(W, u, ax):
 
 
 def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
-                   sponge, order: int = 2, remat_blocks: int = 1):
+                   sponge, order: int = 2, remat_blocks: int = 1,
+                   fused=None):
     """Coupled leapfrog for the pseudo-acoustic VTI system (axis 0 = z):
 
         p_tt = c² [(1+2ε) Lh(p) + √(1+2δ) ∂zz q] + s
         q_tt = c² [√(1+2δ) Lh(p) + ∂zz q] + s
 
-    with ``Lh`` the horizontal Laplacian (all axes but 0)."""
+    with ``Lh`` the horizontal Laplacian (all axes but 0). ``fused``
+    selects the Pallas coupled-step kernel (``pallas_wave.fused_vti_step``)
+    — ``None`` = auto on TPU in the 3-D regime; callers that vmap this
+    (multishot) must pass ``fused=False``."""
     shape = c.shape
     nd = c.ndim
     c2dt2 = (c * c) * (dt * dt)
@@ -1269,19 +1273,103 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
             .reshape(shape)
         )
 
-    def step(carry, s_t):
-        p_prev, p, q_prev, q = carry
-        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
+    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_vti_pallas
+
+        can_fuse = fits_vti_pallas(shape, c.dtype, order)
+    if fused is None:
+        fused = can_fuse and jax.default_backend() != "cpu"
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused VTI step requires a 3-D f32 grid with aligned minor dims"
+        )
+
+    def _xla_update(p_prev, p, q_prev, q, c2, ah_, av_, s_t, mask):
         lh = _d2_axis(p, 1, inv_dx2, order)
         for ax in range(2, nd):
             lh = lh + _d2_axis(p, ax, inv_dx2, order)
         dzz = _d2_axis(q, 0, inv_dx2, order)
         p_next = _mul_sponge(2.0 * p - p_prev
-                             + c2dt2 * (ah * lh + av * dzz), sponge) \
+                             + c2 * (ah_ * lh + av_ * dzz), sponge) \
             + s_t * mask
         q_next = _mul_sponge(2.0 * q - q_prev
-                             + c2dt2 * (av * lh + dzz), sponge) \
+                             + c2 * (av_ * lh + dzz), sponge) \
             + s_t * mask
+        return p_next, q_next
+
+    if fused:
+        from .pallas_wave import fused_vti_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]
+        spy = sponge[1][0]
+        spx = sponge[2][0]
+
+        @jax.custom_jvp
+        def step_core(p_prev, p, q_prev, q, c2, ah_, av_, s_t):
+            return fused_vti_step(
+                p_prev, p, q_prev, q, c2, ah_, av_, spz, spy, spx,
+                inv_dx2, s_t, src_idx, amp, order=order, interpret=interp,
+            )
+
+        @step_core.defjvp
+        def _step_jvp(primals, tangents):
+            pp, p, qp, q, c2, ah_, av_, st = primals
+            dpp, dp, dqp, dq, dc2, dah, dav, dst = tangents
+            out = step_core(pp, p, qp, q, c2, ah_, av_, st)
+            mask = _iota_src_mask(shape, src_idx, amp)
+            lh = _d2_axis(p, 1, inv_dx2, order)
+            for ax in range(2, nd):
+                lh = lh + _d2_axis(p, ax, inv_dx2, order)
+            dzz = _d2_axis(q, 0, inv_dx2, order)
+            dlh = _d2_axis(dp, 1, inv_dx2, order)
+            for ax in range(2, nd):
+                dlh = dlh + _d2_axis(dp, ax, inv_dx2, order)
+            ddzz = _d2_axis(dq, 0, inv_dx2, order)
+            dpn = _mul_sponge(
+                2.0 * dp - dpp + dc2 * (ah_ * lh + av_ * dzz)
+                + c2 * (dah * lh + ah_ * dlh + dav * dzz + av_ * ddzz),
+                sponge) + dst * mask
+            dqn = _mul_sponge(
+                2.0 * dq - dqp + dc2 * (av_ * lh + dzz)
+                + c2 * (dav * lh + av_ * dlh + ddzz),
+                sponge) + dst * mask
+            return out, (dpn, dqn)
+
+        def one_step(carry, s_t):
+            p_prev, p, q_prev, q = carry
+            p_next, q_next = step_core(p_prev, p, q_prev, q, c2dt2, ah, av,
+                                       s_t)
+            rec = p_next.reshape(-1)[rcv_idx]
+            return (p, p_next, q, q_next), rec
+
+        # pair two steps per scan iteration: every carry slot is written
+        # fresh, so the kernel's in-place aliasing donates with no rotation
+        # copies (same finding as the isotropic fused step; measured there)
+        def step(carry, s_pair):
+            c1, r1 = one_step(carry, s_pair[0])
+            c2_, r2 = one_step(c1, s_pair[1])
+            return c2_, jnp.stack((r1, r2))
+
+        nt = int(src_wavelet.shape[0])
+        pad = nt % 2
+        wav = src_wavelet
+        if pad:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xs = wav.reshape(((nt + pad) // 2, 2) + wav.shape[1:])
+        zero = (src_idx * 0).astype(c.dtype)
+        u0 = jnp.zeros(shape, c.dtype) + zero
+        (_, _, _, _), traces = _scan_remat(
+            step, (u0, u0, u0, u0), xs, remat_blocks)
+        return traces.reshape((nt + pad,) + traces.shape[2:])[:nt]
+
+    def step(carry, s_t):
+        p_prev, p, q_prev, q = carry
+        mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
+        p_next, q_next = _xla_update(p_prev, p, q_prev, q, c2dt2, ah, av,
+                                     s_t, mask)
         rec = p_next.reshape(-1)[rcv_idx]
         return (p, p_next, q, q_next), rec
 
@@ -1304,6 +1392,7 @@ def vti_wave_propagator(
     sponge_width: int = 12,
     space_order: int = 2,
     remat_blocks: int = 1,
+    fused=None,
     dtype=jnp.float32,
 ) -> Operator:
     """Three-parameter VTI anisotropic forward modeling
@@ -1318,6 +1407,14 @@ def vti_wave_propagator(
 
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
+    if fused:
+        from .pallas_wave import fits_vti_pallas
+
+        if not fits_vti_pallas(grid_shape, dtype, space_order):
+            raise ValueError(
+                "fused VTI step requires a 3-D f32 grid with "
+                "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+            )
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp, gsp, gsp])
     if rcv_idx is None:
@@ -1333,7 +1430,7 @@ def vti_wave_propagator(
             m.getblock(0), m.getblock(1), m.getblock(2),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-            remat_blocks=remat_blocks,
+            remat_blocks=remat_blocks, fused=fused,
         )
 
     def _df(dm, m0, state):
@@ -1618,6 +1715,7 @@ def multishot_vti_wave_operator(
             bs["wavelet"], bs["src"], bs["rcv"],
             dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
             remat_blocks=remat_blocks,
+            fused=False,  # vmapped per shot: manual DMAs don't batch
         )
 
     def shot_df(dm, m0, bs):

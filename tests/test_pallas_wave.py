@@ -134,3 +134,107 @@ def test_fused_propagator_remat_path():
     g1 = jax.grad(lambda cc: jnp.sum(F1(cc) ** 2))(c)
     g4 = jax.grad(lambda cc: jnp.sum(F4(cc) ** 2))(c)
     assert np.array_equal(np.asarray(g1), np.asarray(g4))
+
+
+# ---------------------------------------------------------------------- #
+# fused VTI coupled step
+# ---------------------------------------------------------------------- #
+
+
+def test_fused_vti_step_matches_xla():
+    """Kernel (p_next, q_next) vs the jitted XLA coupled update."""
+    from jets_tpu.ops.pallas_wave import fits_vti_pallas, fused_vti_step
+    from jets_tpu.ops.wave import _d2_axis
+
+    D, H, W = SHAPE
+    ks = jax.random.split(jax.random.PRNGKey(9), 7)
+    pp, p, qp, q = (jax.random.normal(k, SHAPE, jnp.float32)
+                    for k in ks[:4])
+    c2 = jax.random.uniform(ks[4], SHAPE, jnp.float32) + 0.5
+    ah = 1.0 + 0.2 * jax.random.uniform(ks[5], SHAPE, jnp.float32)
+    av = 1.0 + 0.1 * jax.random.uniform(ks[6], SHAPE, jnp.float32)
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+    inv_dx2 = jnp.float32(0.01)
+    s_t, amp = jnp.float32(0.3), jnp.float32(0.125)
+    src = 5 * H * W + 3 * W + 17
+    assert fits_vti_pallas(SHAPE, jnp.float32, 2)
+
+    po, qo = fused_vti_step(pp, p, qp, q, c2, ah, av, sz,
+                            sy.reshape(H, 1), sx.reshape(1, W),
+                            inv_dx2, s_t, src, amp, order=2, interpret=True)
+
+    @jax.jit
+    def xla(pp, p, qp, q):
+        lh = _d2_axis(p, 1, inv_dx2, 2) + _d2_axis(p, 2, inv_dx2, 2)
+        dzz = _d2_axis(q, 0, inv_dx2, 2)
+        sponge = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(
+            1, 1, W)
+        mask = (jnp.zeros((D * H * W,), jnp.float32).at[src].set(amp)
+                .reshape(SHAPE))
+        pn = (2.0 * p - pp + c2 * (ah * lh + av * dzz)) * sponge \
+            + s_t * mask
+        qn = (2.0 * q - qp + c2 * (av * lh + dzz)) * sponge + s_t * mask
+        return pn, qn
+
+    pn, qn = xla(pp, p, qp, q)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(pn),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qo), np.asarray(qn),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_vti_propagator_matches_xla_path():
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              sponge_width=3, dtype=jnp.float32)
+    Ff = vti_wave_propagator(SHAPE, fused=True, **kw)
+    Fx = vti_wave_propagator(SHAPE, fused=False, **kw)
+    full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
+    m = (Ff.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
+         .setblock(2, full(0.05)))
+    df, dx_ = Ff(m), Fx(m)
+    scale = float(jnp.max(jnp.abs(dx_))) or 1.0
+    np.testing.assert_allclose(np.asarray(df) / scale,
+                               np.asarray(dx_) / scale, atol=5e-5)
+
+    J = Ff.linearize(m)
+    mm = J.dom.randn(jax.random.PRNGKey(12))
+    dd = J.rng.randn(jax.random.PRNGKey(13))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    # gradients of fused vs XLA propagators agree (same XLA tangent)
+    def loss(F):
+        return jax.grad(lambda b: jnp.sum(F(m.setblock(0, full(1800.0)
+                                            + b)) ** 2))(full(0.0))
+
+    gf, gx = loss(Ff), loss(Fx)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-3,
+                               atol=1e-5 * float(jnp.max(jnp.abs(gx))))
+
+
+def test_fused_vti_odd_nt_and_remat():
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    kw = dict(dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              sponge_width=3, dtype=jnp.float32)
+    full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
+    F21 = vti_wave_propagator(SHAPE, nt=21, fused=True, **kw)
+    m = (F21.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
+         .setblock(2, full(0.05)))
+    d21 = F21(m)
+    assert d21.shape[0] == 21
+    Fx = vti_wave_propagator(SHAPE, nt=21, fused=False, **kw)
+    scale = float(jnp.max(jnp.abs(d21))) or 1.0
+    np.testing.assert_allclose(np.asarray(d21) / scale,
+                               np.asarray(Fx(m)) / scale, atol=5e-5)
+    # remat composes with the fused coupled step
+    F4 = vti_wave_propagator(SHAPE, nt=20, fused=True, remat_blocks=5, **kw)
+    g = jax.grad(lambda b: jnp.sum(F4(m.setblock(0, full(1800.0) + b))
+                                   ** 2))(full(0.0))
+    assert bool(jnp.all(jnp.isfinite(g)))
