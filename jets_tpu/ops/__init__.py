@@ -59,6 +59,7 @@ from .sampling import (
 )
 from .wave import (
     born_operator,
+    multishot_tti_wave_operator,
     multishot_vti_wave_operator,
     tti_wave_propagator,
     cpml_wave_propagator,
@@ -131,6 +132,7 @@ __all__ = [
     "sinc_sampling_operator",
     "born_operator",
     "cpml_wave_propagator",
+    "multishot_tti_wave_operator",
     "multishot_vti_wave_operator",
     "multishot_wave_operator",
     "offgrid_wave_propagator",

@@ -55,6 +55,7 @@ from .stencil import _D2_COEFFS
 __all__ = [
     "fused_leapfrog_step", "wave_step_tile", "fits_wave_pallas",
     "fused_vti_step", "vti_step_tile", "fits_vti_pallas",
+    "fused_tti_step", "tti_step_tile", "fits_tti_pallas",
 ]
 
 
@@ -444,3 +445,276 @@ def fused_vti_step(p_prev, p, q_prev, q, c2dt2, ah, av, spz, sy, sx,
         input_output_aliases={} if interpret else {5: 0, 7: 1},
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, p_prev, p, q_prev, c2dt2, ah, av, q)
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-D TTI coupled step — tilted-TI pseudo-acoustics with azimuth
+# (ops/wave.py::_propagate_tti3d). This is the most HBM-hostile step in the
+# pack: each field needs SIX second derivatives (zz, yy, xx and the three
+# cross terms ∂zy/∂zx/∂yx as composed central first differences), and XLA
+# materializes the intermediate first-derivative fields — the measured XLA
+# body runs far above the physics roofline. The kernel computes everything
+# for one slab in-register from TWO DMA rings (p and q both carry z halos
+# here, unlike VTI where only q does): reads p, q (stencilled), p_prev,
+# q_prev, c²dt², 1+2ε, √(1+2δ) and the symmetry-axis components
+# (nz, ny, nx); writes p_next, q_next with both prev fields aliased in
+# place — 12 grid touches per step, the physics minimum for this
+# parameterization. The six direction coefficients (nᵢ², 2nᵢnⱼ) are
+# recomputed in-register from the axis fields (3 reads instead of 6;
+# float32 products are bitwise equal to the precomputed fields the XLA
+# path closes over).
+#
+# Bit-exactness contract (gated by tests/test_pallas_wave.py): at order 2
+# the kernel reproduces the exact floating-point trees of
+# ``_d2_axis``/``_d1_axis``/``_HV`` in ops/wave.py, so the fused and XLA
+# TTI paths are interchangeable mid-solve.
+# ---------------------------------------------------------------------------
+
+
+def _tti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, qp_blk,
+                c2_blk, ah_blk, av_blk, nz_blk, ny_blk, nx_blk, p_hbm, q_hbm,
+                po_blk, qo_blk, pscr, qscr, psems, qsems, *,
+                T, D, H, W, order):
+    from .wave import _D1_COEFFS  # first-derivative taps (wave.py owns them)
+
+    c0, cs = _D2_COEFFS[order]
+    c1s = _D1_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw
+
+    def ring(hbm, scr, sems):
+        """Double-buffered slab DMA ring with zero-filled halos at the grid
+        top/bottom — the same ring as ``_wave_kernel``/``_vti_kernel``,
+        instantiated once per streamed field."""
+        def center(j, sl):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(j * T, T)],
+                scr.at[pl.ds(sl * P + hw, T)], sems.at[sl, 0])
+
+        def front(j, sl):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(j * T - hw, hw)],
+                scr.at[pl.ds(sl * P, hw)], sems.at[sl, 1])
+
+        def back(j, sl):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(j * T + T, hw)],
+                scr.at[pl.ds(sl * P + hw + T, hw)], sems.at[sl, 2])
+
+        def start(j, sl):
+            center(j, sl).start()
+
+            @pl.when(j > 0)
+            def _():
+                front(j, sl).start()
+
+            @pl.when(j < nsl - 1)
+            def _():
+                back(j, sl).start()
+
+        def wait(j, sl):
+            center(j, sl).wait()
+
+            @pl.when(j > 0)
+            def _():
+                front(j, sl).wait()
+
+            @pl.when(j == 0)
+            def _():
+                scr[pl.ds(sl * P, hw)] = jnp.zeros((hw, H, W), scr.dtype)
+
+            @pl.when(j < nsl - 1)
+            def _():
+                back(j, sl).wait()
+
+            @pl.when(j == nsl - 1)
+            def _():
+                scr[pl.ds(sl * P + hw + T, hw)] = jnp.zeros(
+                    (hw, H, W), scr.dtype)
+
+        return start, wait
+
+    pstart, pwait = ring(p_hbm, pscr, psems)
+    qstart, qwait = ring(q_hbm, qscr, qsems)
+
+    @pl.when(i == 0)
+    def _():
+        pstart(0, 0)
+        qstart(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        pstart(i + 1, nslot)
+        qstart(i + 1, nslot)
+
+    pwait(i, slot)
+    qwait(i, slot)
+
+    inv_dx2 = scal_ref[2]
+    inv_dx = scal_ref[3]
+    base = slot * P
+
+    def _pad_y(a, lo, hi):
+        return jnp.pad(a, ((0, 0), (lo, hi), (0, 0)))
+
+    def _pad_x(a, lo, hi):
+        return jnp.pad(a, ((0, 0), (0, 0), (lo, hi)))
+
+    def _d1y(a):
+        # EXACT _d1_axis tree: out = Σ_s c_s·(x[+s] − x[−s]); out·inv_dx
+        out = None
+        for s, c1 in enumerate(c1s, start=1):
+            term = c1 * (_pad_y(a[:, s:, :], 0, s) - _pad_y(a[:, :-s, :], s, 0))
+            out = term if out is None else out + term
+        return out * inv_dx
+
+    def _d1x(a):
+        out = None
+        for s, c1 in enumerate(c1s, start=1):
+            term = c1 * (_pad_x(a[:, :, s:], 0, s) - _pad_x(a[:, :, :-s], s, 0))
+            out = term if out is None else out + term
+        return out * inv_dx
+
+    def derivs(scr):
+        """All six second derivatives of one field on the T center slices,
+        matching ops/wave.py's ``_d2_axis`` / composed ``_d1_axis`` trees."""
+        su = scr[pl.ds(base, P)]          # (P, H, W) slab + z halos
+        c = su[hw:hw + T]
+        d2z = c0 * c
+        for s, coef in enumerate(cs, start=1):
+            d2z = d2z + coef * (su[hw + s:hw + s + T] + su[hw - s:hw - s + T])
+        d2z = d2z * inv_dx2
+        d2y = c0 * c
+        for s, coef in enumerate(cs, start=1):
+            d2y = d2y + coef * (_pad_y(c[:, s:, :], 0, s)
+                                + _pad_y(c[:, :-s, :], s, 0))
+        d2y = d2y * inv_dx2
+        d2x = c0 * c
+        for s, coef in enumerate(cs, start=1):
+            d2x = d2x + coef * (_pad_x(c[:, :, s:], 0, s)
+                                + _pad_x(c[:, :, :-s], s, 0))
+        d2x = d2x * inv_dx2
+        # inner ∂z on the center slices (z halos supply the taps), then the
+        # outer in-plane first derivatives — _dij(u,0,1) / _dij(u,0,2)
+        vz = None
+        for s, c1 in enumerate(c1s, start=1):
+            term = c1 * (su[hw + s:hw + s + T] - su[hw - s:hw - s + T])
+            vz = term if vz is None else vz + term
+        vz = vz * inv_dx
+        dzy = _d1y(vz)
+        dzx = _d1x(vz)
+        dyx = _d1x(_d1y(c))               # _dij(u, 1, 2)
+        return c, d2z, d2y, d2x, dzy, dzx, dyx
+
+    pc, pzz, pyy, pxx, pzy, pzx, pyx = derivs(pscr)
+    qc, qzz, qyy, qxx, qzy, qzx, qyx = derivs(qscr)
+
+    nz = nz_blk[...]
+    ny = ny_blk[...]
+    nx = nx_blk[...]
+    # same expressions (and f32 products) as _propagate_tti3d's precomputed
+    # coefficient fields
+    czz, cyy, cxx = nz * nz, ny * ny, nx * nx
+    czy, czx, cyx = 2.0 * nz * ny, 2.0 * nz * nx, 2.0 * ny * nx
+
+    Hp = ((1.0 - czz) * pzz + (1.0 - cyy) * pyy + (1.0 - cxx) * pxx
+          - czy * pzy - czx * pzx - cyx * pyx)
+    Vq = (czz * qzz + cyy * qyy + cxx * qxx
+          + czy * qzy + czx * qzx + cyx * qyx)
+
+    c2 = c2_blk[...]
+    ah = ah_blk[...]
+    av = av_blk[...]
+    e_p = 2.0 * pc - pp_blk[...] + c2 * (ah * Hp + av * Vq)
+    e_q = 2.0 * qc - qp_blk[...] + c2 * (av * Hp + Vq)
+
+    s_t = scal_ref[0]
+    amp = scal_ref[1]
+    iy = lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
+    yx = iy * W + ix
+    for t in range(T):
+        plane = (spz_ref[i * T + t] * sy_blk[...]) * sx_blk[...]
+        flat_t = (i * T + t) * (H * W) + yx
+        mask_t = jnp.where(flat_t == idx_ref[0], amp, jnp.zeros_like(amp))
+        po_blk[pl.ds(t, 1)] = e_p[t:t + 1] * plane[None] + s_t * mask_t
+        qo_blk[pl.ds(t, 1)] = e_q[t:t + 1] * plane[None] + s_t * mask_t
+
+
+def tti_step_tile(shape, order: int, itemsize: int = 4):
+    """10 blocked grid arrays double-buffered (20·T) + TWO DMA rings
+    (both fields are z-stencilled here)."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        vmem = (4 * (t + 2 * hw) + 20 * t) * H * W * itemsize
+        if vmem <= 12 * 2**20:
+            return t
+    return None
+
+
+def fits_tti_pallas(shape, dtype, order: int) -> bool:
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    return tti_step_tile(shape, order) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("order", "interpret"))
+def fused_tti_step(p_prev, p, q_prev, q, c2dt2, ah, av, nz, ny, nx,
+                   spz, sy, sx, inv_dx2, inv_dx, s_t, src_idx, amp, *,
+                   order: int = 2, interpret: bool = False):
+    """One coupled 3-D TTI leapfrog step in a single slab-pipelined pass
+    (12 grid touches — the physics minimum for the (c, ε, δ, θ, φ)
+    parameterization); returns ``(p_next, q_next)`` with ``p_prev``/
+    ``q_prev`` aliased in place. ``nz/ny/nx`` are the symmetry-axis
+    component fields ``(cosθ, sinθcosφ, sinθsinφ)``. Raw kernel;
+    ``ops/wave.py`` wraps it in ``custom_jvp``."""
+    D, H, W = p.shape
+    T = tti_step_tile(p.shape, order, p.dtype.itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {p.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.stack([jnp.asarray(s_t, p.dtype), jnp.asarray(amp, p.dtype),
+                      jnp.asarray(inv_dx2, p.dtype),
+                      jnp.asarray(inv_dx, p.dtype)])
+    sidx = jnp.asarray(src_idx, jnp.int32).reshape(1)
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tti_kernel, T=T, D=D, H=H, W=W, order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct((D, H, W), p.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), p.dtype),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), p.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        input_output_aliases={} if interpret else {5: 0, 6: 1},
+        interpret=interpret,
+    )(scal, sidx, spz, sy, sx, p_prev, q_prev, c2dt2, ah, av, nz, ny, nx,
+      p, q)

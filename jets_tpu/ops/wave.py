@@ -50,6 +50,7 @@ __all__ = [
     "vti_wave_propagator",
     "tti_wave_propagator",
     "multishot_vti_wave_operator",
+    "multishot_tti_wave_operator",
 ]
 
 
@@ -164,6 +165,40 @@ def _ricker(nt: int, dt: float, freq: float, dtype=jnp.float32):
     t = jnp.arange(nt, dtype=dtype) * dt - t0
     a = (jnp.pi * freq * t) ** 2
     return ((1 - 2 * a) * jnp.exp(-a)).astype(dtype)
+
+
+def _trace_resampler(nt: int, dt: float, dtrec, dtype=jnp.float32):
+    """Recording-grid time interpolation — JetPackWaveFD's ``dtmod``/
+    ``dtrec`` split: the FD scheme steps at the CFL-limited modeling ``dt``
+    while data live on a coarser recording grid ``dtrec``. Returns
+    ``(ntrec, resample)`` where ``resample`` linearly interpolates
+    ``(nt, ...)`` fine-grid traces onto the ``ntrec`` recording samples
+    (differentiable — the derived adjoint is the linear-interpolation
+    transpose, i.e. the reference family's adjoint trace injection).
+    ``dtrec=None`` is the identity (record every modeling step)."""
+    if dtrec is None:
+        return nt, None
+    import numpy as np
+
+    dtrec = float(dtrec)
+    if dtrec < dt - 1e-12:
+        raise ValueError(f"dtrec={dtrec} must be >= modeling dt={dt}")
+    ntrec = int(np.floor((nt - 1) * dt / dtrec + 1e-9)) + 1
+    t = np.arange(ntrec) * (dtrec / dt)
+    i0 = np.minimum(np.floor(t).astype(np.int64), max(nt - 2, 0))
+    w = (t - i0).astype(np.dtype(dtype) if np.dtype(dtype).kind == "f"
+                        else np.float32)
+    i0_j = jnp.asarray(i0, jnp.int32)
+    w_j = jnp.asarray(w, dtype)
+
+    def resample(traces):
+        wshape = (ntrec,) + (1,) * (traces.ndim - 1)
+        wb = w_j.reshape(wshape)
+        lo = jnp.take(traces, i0_j, axis=0)
+        hi = jnp.take(traces, jnp.minimum(i0_j + 1, nt - 1), axis=0)
+        return (1.0 - wb) * lo + wb * hi
+
+    return ntrec, resample
 
 
 def _scan_remat(step, carry, xs, remat_blocks: int):
@@ -344,6 +379,107 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     return traces
 
 
+def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
+                    order: int = 2, store: str = "int8"):
+    """Adjoint-state gradient ``(∂F/∂c)ᵀ dd`` with a STORED forward-
+    wavefield history — the TPU-native equivalent of JetPackWaveFD's
+    production imaging path, where the forward wavefield is serialized
+    through the lossy CvxCompress codec and read back during the adjoint
+    sweep instead of being recomputed. Here the history stays ON DEVICE,
+    compressed per snapshot:
+
+    * ``store="int8"`` — per-snapshot max-abs scaling to int8 (4× smaller
+      than f32; the CvxCompress-style lossy trade, gradient direction
+      preserved to ~1e-3),
+    * ``store="bf16"`` — 2× smaller, ~1e-3 relative error,
+    * ``store="f32"`` — lossless; matches reverse-mode autodiff through
+      the scan to roundoff (pinned by the suite).
+
+    The reverse sweep is the hand-derived transpose of the leapfrog step
+    (the Laplacian is self-adjoint under the zero boundary): with
+    ``ē_k = S ⊙ a_{k+1}`` (S the sponge diagonal),
+
+        a_k  = Pᵀ ḡrec_{k-1} + 2ē_k + L(c²dt²·ē_k) − ē_{k+1}
+        gc2 += L(u_k) ⊙ ē_k          (u_k read from the stored history)
+
+    so adjoint memory is O(nt·grid/ratio) with NO recomputation — the
+    complementary point to ``remat_blocks`` (O(√nt·grid) with a 2nd
+    forward sweep) on the reference family's storage/recompute trade
+    (``utils/compression.py`` holds the host-side codec + SnapshotStore
+    half of that slot)."""
+    shape = c.shape
+    dtype = c.dtype
+    c2dt2 = (c * c) * (dt * dt) / (dx * dx)
+    size = 1
+    for s in shape:
+        size *= int(s)
+    iota_src = len(shape) >= 3
+    amp = jnp.asarray(dt * dt, dtype)
+    if not iota_src:
+        dense_mask = (
+            jnp.zeros((size,), dtype).at[src_idx].set(dt * dt).reshape(shape)
+        )
+
+    def mask():
+        return (_iota_src_mask(shape, src_idx, amp) if iota_src
+                else dense_mask)
+
+    if store == "f32":
+        enc = lambda u: (u, jnp.ones((), dtype))                # noqa: E731
+        dec = lambda q, s: q                                    # noqa: E731
+    elif store == "bf16":
+        enc = lambda u: (u.astype(jnp.bfloat16),                # noqa: E731
+                         jnp.ones((), dtype))
+        dec = lambda q, s: q.astype(dtype)                      # noqa: E731
+    elif store == "int8":
+        def enc(u):
+            s = jnp.maximum(jnp.max(jnp.abs(u)),
+                            jnp.asarray(1e-30, dtype))
+            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
+
+        dec = lambda q, s: q.astype(dtype) * (s / 127.0)        # noqa: E731
+    else:
+        raise ValueError(
+            f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
+        )
+
+    u0 = jnp.zeros(shape, dtype)
+
+    def fstep(carry, s_t):
+        u_prev, u = carry
+        u_next = _mul_sponge(
+            2.0 * u - u_prev + c2dt2 * _laplacian(u, order=order), sponge
+        ) + s_t * mask()
+        return (u, u_next), enc(u)   # history entry k holds u_k
+
+    (_, _), (hist, scales) = lax.scan(fstep, (u0, u0), src_wavelet)
+
+    def inject(row):
+        return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
+                .reshape(shape))
+
+    # ḡrec_{k-1} aligned to reverse iteration k (rec_k samples u_{k+1})
+    dd = dd.astype(dtype)
+    dd_shift = jnp.concatenate(
+        [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    def bstep(carry, xs):
+        a_nxt, ebar_nxt, gc2 = carry
+        q, s, grec_prev = xs
+        u_k = dec(q, s)
+        ebar = _mul_sponge(a_nxt, sponge)
+        gc2 = gc2 + _laplacian(u_k, order=order) * ebar
+        a_k = (inject(grec_prev) + 2.0 * ebar
+               + _laplacian(c2dt2 * ebar, order=order) - ebar_nxt)
+        return (a_k, ebar, gc2), None
+
+    carry0 = (inject(dd[-1]), jnp.zeros(shape, dtype),
+              jnp.zeros(shape, dtype))
+    (_, _, gc2), _ = lax.scan(bstep, carry0, (hist, scales, dd_shift),
+                              reverse=True)
+    return gc2 * (2.0 * c) * jnp.asarray((dt * dt) / (dx * dx), dtype)
+
+
 def wave_propagator(
     grid_shape: Sequence[int],
     *,
@@ -358,6 +494,8 @@ def wave_propagator(
     remat_blocks: int = 1,
     free_surface: bool = False,
     fused=None,
+    dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward-modeling operator ``F: velocity c → traces d``.
@@ -365,11 +503,22 @@ def wave_propagator(
     ``fused`` controls the Pallas fused-step fast path for 3-D grids
     (``None`` = auto on TPU; see :func:`_propagate`).
 
-    Domain: the velocity grid. Range: ``(nt, nrcv)`` receiver traces.
+    Domain: the velocity grid. Range: ``(ntrec, nrcv)`` receiver traces —
+    ``ntrec = nt`` unless ``dtrec`` (the recording sample interval,
+    JetPackWaveFD's ``dtrec`` vs the modeling ``dtmod``) is given, in which
+    case the fine-grid traces are linearly interpolated onto the coarser
+    recording grid (:func:`_trace_resampler`).
     Tangent/adjoint are JAX jvp/vjp through the rematerialized scan — the
     jet's ``upstate`` hook (reference ``point!``/``upstate!``,
     ``src/Jets.jl:297-301``) is where the linearization point is pinned.
     ``space_order`` ∈ {2, 4, 8} picks the spatial stencil accuracy.
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} switches the adjoint
+    from rematerialization to a stored (optionally lossily compressed)
+    forward-wavefield history — see :func:`_adjoint_stored`. ``"f32"`` is
+    pinned equal to the autodiff adjoint by the suite; ``"int8"`` trades
+    ~1e-3 gradient error for 4× less adjoint memory and no recompute
+    (the CvxCompress trade of the reference family's production RTM/FWI).
     """
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
@@ -389,23 +538,44 @@ def wave_propagator(
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width,
                           free_surface=free_surface, dtype=dtype)
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
 
     def _f(c, state):
-        return _propagate(
+        traces = _propagate(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"],
             remat_blocks=remat_blocks, order=space_order, fused=fused,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dc, m0, state):
         _, tangent = jax.jvp(lambda c: _f(c, state), (m0,), (dc,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda c: _f(c, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda c: _f(c, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (dd,) = rvjp(dd)
+            return _adjoint_stored(
+                m0, dd, state["wavelet"], state["src_idx"],
+                state["rcv_idx"], dt=dt, dx=dx, sponge=state["sponge"],
+                order=space_order, store=store_adjoint,
+            )
 
     j = Jet(
         dom=sp,
@@ -451,11 +621,14 @@ def multishot_wave_operator(
     remat_blocks: int = 1,
     window_corners=None,
     window_shape: Optional[Sequence[int]] = None,
+    dtrec: Optional[float] = None,
     mesh=None,
     axis: str = "block",
     dtype=jnp.float32,
 ) -> Operator:
-    """Nonlinear multi-shot modeling ``F: c -> (nshots, nt, nrcv)``.
+    """Nonlinear multi-shot modeling ``F: c -> (nshots, ntrec, nrcv)``
+    (``ntrec = nt`` unless the recording interval ``dtrec`` is given —
+    see :func:`_trace_resampler`).
 
     Per-shot state is the source location; receivers are a fixed shared
     array. Forward/tangent vmap the leapfrog propagator over shots (and
@@ -519,16 +692,19 @@ def multishot_wave_operator(
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(prop_shape, sponge_width, dtype=dtype)
 
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+
     def shot_f(c, bs):
         if window_shape is not None:
             starts = tuple(bs["corner"][i] for i in range(len(prop_shape)))
             c = lax.dynamic_slice(c, starts, prop_shape)
-        return _propagate(
+        traces = _propagate(
             c, bs["wavelet"], bs["src"], bs["rcv"],
             dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=remat_blocks,
             order=space_order,
             fused=False,  # vmapped per shot: manual DMAs don't batch
         )
+        return _resample(traces) if _resample is not None else traces
 
     def shot_df(dc, c0, bs):
         _, tangent = jax.jvp(lambda c: shot_f(c, bs), (c0,), (dc,))
@@ -544,7 +720,7 @@ def multishot_wave_operator(
     return stacked_block_operator(
         nblocks=nshots,
         dom=sp,
-        rng_block=Space((nt, int(rcv_idx.shape[0])), dtype),
+        rng_block=Space((ntrec, int(rcv_idx.shape[0])), dtype),
         bstate=bstate,
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,
@@ -707,6 +883,7 @@ def cpml_wave_propagator(
     space_order: int = 2,
     remat_blocks: int = 1,
     free_surface: bool = False,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward modeling ``F: c → d`` with CPML absorbing
@@ -729,14 +906,16 @@ def cpml_wave_propagator(
         grid_shape, pml_width, dt, dx, cmax, freq, dtype=dtype,
         free_surface=free_surface,
     )
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
 
     def _f(c, state):
-        return _propagate_cpml(
+        traces = _propagate_cpml(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, a_prof=state["a_prof"], b_prof=state["b_prof"],
             order=space_order, remat_blocks=remat_blocks,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dc, m0, state):
         _, tangent = jax.jvp(lambda c: _f(c, state), (m0,), (dc,))
@@ -1393,6 +1572,7 @@ def vti_wave_propagator(
     space_order: int = 2,
     remat_blocks: int = 1,
     fused=None,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Three-parameter VTI anisotropic forward modeling
@@ -1423,15 +1603,17 @@ def vti_wave_propagator(
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
-        return _propagate_vti(
+        traces = _propagate_vti(
             m.getblock(0), m.getblock(1), m.getblock(2),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
             remat_blocks=remat_blocks, fused=fused,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dm, m0, state):
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
@@ -1519,7 +1701,7 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
 
 def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
                      rcv_idx, *, dt, dx, sponge, order: int = 2,
-                     remat_blocks: int = 1):
+                     remat_blocks: int = 1, fused=None):
     """3-D tilted-TI pseudo-acoustics with azimuth. The symmetry axis is
     the unit vector ``n = (cosθ, sinθ·cosφ, sinθ·sinφ)`` in (z, y, x); the
     rotated vertical operator is the directional second derivative
@@ -1556,6 +1738,18 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
             .reshape(shape)
         )
 
+    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_tti_pallas
+
+        can_fuse = fits_tti_pallas(shape, c.dtype, order)
+    if fused is None:
+        fused = can_fuse and jax.default_backend() != "cpu"
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused TTI step requires a 3-D f32 grid with aligned minor dims"
+        )
+
     def _dij(u, i, j):
         return _d1_axis(_d1_axis(u, i, inv_dx, order), j, inv_dx, order)
 
@@ -1571,6 +1765,91 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
         H = ((1.0 - czz) * uzz + (1.0 - cyy) * uyy + (1.0 - cxx) * uxx
              - czy * uzy - czx * uzx - cyx * uyx)
         return H, V
+
+    if fused:
+        from .pallas_wave import fused_tti_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]
+        spy = sponge[1][0]
+        spx = sponge[2][0]
+
+        @jax.custom_jvp
+        def step_core(p_prev, p, q_prev, q, c2, ah_, av_, nz_, ny_, nx_,
+                      s_t):
+            return fused_tti_step(
+                p_prev, p, q_prev, q, c2, ah_, av_, nz_, ny_, nx_,
+                spz, spy, spx, inv_dx2, inv_dx, s_t, src_idx, amp,
+                order=order, interpret=interp,
+            )
+
+        @step_core.defjvp
+        def _step_jvp(primals, tangents):
+            out = step_core(*primals)
+            mask = _iota_src_mask(shape, src_idx, amp)
+
+            def xla_step(pp, p, qp, q, c2, ah_, av_, nz_, ny_, nx_, s_t):
+                # the EXACT unfused tree with the coefficient fields as
+                # function of (nz, ny, nx) so tangents flow through θ/φ
+                czz_, cyy_, cxx_ = nz_ * nz_, ny_ * ny_, nx_ * nx_
+                czy_ = 2.0 * nz_ * ny_
+                czx_ = 2.0 * nz_ * nx_
+                cyx_ = 2.0 * ny_ * nx_
+
+                def HV(u):
+                    uzz = _d2_axis(u, 0, inv_dx2, order)
+                    uyy = _d2_axis(u, 1, inv_dx2, order)
+                    uxx = _d2_axis(u, 2, inv_dx2, order)
+                    uzy = _dij(u, 0, 1)
+                    uzx = _dij(u, 0, 2)
+                    uyx = _dij(u, 1, 2)
+                    V = (czz_ * uzz + cyy_ * uyy + cxx_ * uxx
+                         + czy_ * uzy + czx_ * uzx + cyx_ * uyx)
+                    Hh = ((1.0 - czz_) * uzz + (1.0 - cyy_) * uyy
+                          + (1.0 - cxx_) * uxx
+                          - czy_ * uzy - czx_ * uzx - cyx_ * uyx)
+                    return Hh, V
+
+                Hp, _ = HV(p)
+                _, Vq = HV(q)
+                pn = _mul_sponge(2.0 * p - pp
+                                 + c2 * (ah_ * Hp + av_ * Vq), sponge) \
+                    + s_t * mask
+                qn = _mul_sponge(2.0 * q - qp
+                                 + c2 * (av_ * Hp + Vq), sponge) \
+                    + s_t * mask
+                return pn, qn
+
+            _, dout = jax.jvp(xla_step, primals, tangents)
+            return out, dout
+
+        def one_step(carry, s_t):
+            p_prev, p, q_prev, q = carry
+            p_next, q_next = step_core(p_prev, p, q_prev, q, c2dt2, ah, av,
+                                       nz, ny, nx, s_t)
+            rec = p_next.reshape(-1)[rcv_idx]
+            return (p, p_next, q, q_next), rec
+
+        # pair two steps per scan iteration so every carry slot is written
+        # fresh and the kernel's in-place aliasing donates with no rotation
+        # copies (same finding as the isotropic/VTI fused steps)
+        def step(carry, s_pair):
+            c1, r1 = one_step(carry, s_pair[0])
+            c2_, r2 = one_step(c1, s_pair[1])
+            return c2_, jnp.stack((r1, r2))
+
+        nt = int(src_wavelet.shape[0])
+        pad = nt % 2
+        wav = src_wavelet
+        if pad:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xs = wav.reshape(((nt + pad) // 2, 2) + wav.shape[1:])
+        zero = (src_idx * 0).astype(c.dtype)
+        u0 = jnp.zeros(shape, c.dtype) + zero
+        (_, _, _, _), traces = _scan_remat(
+            step, (u0, u0, u0, u0), xs, remat_blocks)
+        return traces.reshape((nt + pad,) + traces.shape[2:])[:nt]
 
     def step(carry, s_t):
         p_prev, p, q_prev, q = carry
@@ -1605,6 +1884,8 @@ def tti_wave_propagator(
     sponge_width: int = 12,
     space_order: int = 2,
     remat_blocks: int = 1,
+    fused=None,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """TTI anisotropic forward modeling — JetPackWaveFD's tilted-TI physics.
@@ -1625,6 +1906,15 @@ def tti_wave_propagator(
     if len(grid_shape) not in (2, 3):
         raise ValueError("tti_wave_propagator supports 2-D and 3-D grids")
     three_d = len(grid_shape) == 3
+    if fused:
+        from .pallas_wave import fits_tti_pallas
+
+        if not three_d or not fits_tti_pallas(grid_shape, dtype,
+                                              space_order):
+            raise ValueError(
+                "fused TTI step requires a 3-D f32 grid with "
+                "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+            )
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp] * (5 if three_d else 4))
     if rcv_idx is None:
@@ -1633,23 +1923,26 @@ def tti_wave_propagator(
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
         if three_d:
-            return _propagate_tti3d(
+            traces = _propagate_tti3d(
                 m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
                 m.getblock(4),
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-                remat_blocks=remat_blocks,
+                remat_blocks=remat_blocks, fused=fused,
             )
-        return _propagate_tti(
+            return _resample(traces) if _resample is not None else traces
+        traces = _propagate_tti(
             m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
             remat_blocks=remat_blocks,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dm, m0, state):
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
@@ -1726,6 +2019,86 @@ def multishot_vti_wave_operator(
         nblocks=nshots,
         dom=dom,
         rng_block=Space((nt, int(rcv_idx.shape[0])), dtype),
+        bstate={"src": src_indices},
+        sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
+        f=shot_f,
+        df=shot_df,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def multishot_tti_wave_operator(
+    grid_shape: Sequence[int],
+    src_indices,
+    *,
+    nt: int = 128,
+    dt: float = 0.001,
+    dx: float = 10.0,
+    freq: float = 15.0,
+    rcv_idx=None,
+    sponge_width: int = 12,
+    space_order: int = 2,
+    remat_blocks: int = 1,
+    dtrec: Optional[float] = None,
+    mesh=None,
+    axis: str = "block",
+    dtype=jnp.float32,
+) -> Operator:
+    """Multi-shot TTI modeling — tilted-TI physics through the stacked/
+    sharded block machinery (the sharded sibling of
+    :func:`tti_wave_propagator`, exactly as :func:`multishot_vti_wave_operator`
+    is to VTI). Domain: ``BlockSpace([grid]*4)`` in 2-D (c, ε, δ, θ) or
+    ``BlockSpace([grid]*5)`` in 3-D (adds azimuth φ); range
+    ``(nshots, ntrec, nrcv)``. The BlockVector model replicates across the
+    mesh; the derived psum adjoint returns the full parameter-gradient
+    tuple (incl. tilt/azimuth) summed over shots."""
+    from ..core.blockspace import BlockSpace
+    from ..parallel.sharded import stacked_block_operator
+
+    grid_shape = tuple(int(s) for s in grid_shape)
+    space_order = _check_space_order(space_order)
+    if len(grid_shape) not in (2, 3):
+        raise ValueError("multishot_tti_wave_operator supports 2-D and 3-D")
+    three_d = len(grid_shape) == 3
+    gsp = Space(grid_shape, dtype)
+    dom = BlockSpace([gsp] * (5 if three_d else 4))
+    src_indices = jnp.asarray(src_indices, jnp.int32)
+    nshots = int(src_indices.shape[0])
+    if rcv_idx is None:
+        n = gsp.size
+        rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
+    rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
+    wavelet = _ricker(nt, dt, freq, dtype)
+    sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+
+    def shot_f(m, bs):
+        if three_d:
+            traces = _propagate_tti3d(
+                m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
+                m.getblock(4), bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
+                remat_blocks=remat_blocks,
+                fused=False,  # vmapped per shot: manual DMAs don't batch
+            )
+        else:
+            traces = _propagate_tti(
+                m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
+                bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
+                remat_blocks=remat_blocks,
+            )
+        return _resample(traces) if _resample is not None else traces
+
+    def shot_df(dm, m0, bs):
+        _, tangent = jax.jvp(lambda m: shot_f(m, bs), (m0,), (dm,))
+        return tangent
+
+    return stacked_block_operator(
+        nblocks=nshots,
+        dom=dom,
+        rng_block=Space((ntrec, int(rcv_idx.shape[0])), dtype),
         bstate={"src": src_indices},
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,

@@ -79,12 +79,55 @@ def _norm(x):
     return jnp.sqrt(_dot(x, x))
 
 
-def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max):
+def _make_proj(bounds):
+    """Box-constraint projector from ``bounds = (lo, hi)`` — each side is
+    ``None`` (unbounded), a scalar (applied to every leaf), or a pytree
+    congruent with the model (per-leaf bounds, e.g. a BlockVector bounding
+    only the velocity block). Returns ``None`` for unconstrained problems
+    so the solvers keep their exact unconstrained trace."""
+    if bounds is None:
+        return None
+    lo, hi = bounds
+    if lo is None and hi is None:
+        return None
+
+    def _one_side(m, b, op):
+        if b is None:
+            return m
+        try:
+            congruent = (jax.tree_util.tree_structure(b)
+                         == jax.tree_util.tree_structure(m))
+        except Exception:
+            congruent = False
+        if congruent:
+            return tr.tmap(op, m, b)
+        return tr.tmap(lambda x: op(x, b), m)
+
+    def proj(m):
+        m = _one_side(m, lo, jnp.maximum)
+        m = _one_side(m, hi, jnp.minimum)
+        return m
+
+    return proj
+
+
+def _pgnorm(m, g, proj):
+    """Projected-gradient norm ``||m - P(m - g)||`` — the first-order
+    optimality measure for box constraints (reduces exactly to ``||g||``
+    when unconstrained)."""
+    if proj is None:
+        return _norm(g)
+    return _norm(tr.sub(m, proj(tr.sub(m, g))))
+
+
+def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max, proj=None):
     """Backtracking line search: largest ``alpha0 / 2^k`` (k < ls_max)
     satisfying ``phi(m + a p) <= phi + c1 a <g,p>``. Returns
     ``(m_new, phi_new, g_new, alpha, ok)``. If every trial fails, the
     original point is kept and ``ok=False`` — callers must reseed their
-    step size rather than trust ``alpha``."""
+    step size rather than trust ``alpha``. With ``proj`` the trial point
+    is projected onto the box and the sufficient-decrease term becomes
+    ``c1 <g, P(m + a p) - m>`` (projected-backtracking, Bertsekas)."""
     gTp = _dot(g, p)
 
     def cond(c):
@@ -94,8 +137,13 @@ def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max):
     def body(c):
         alpha, k, _done, _m, _phi, _g = c
         m_try = tr.xpay(m, alpha, p)
+        if proj is not None:
+            m_try = proj(m_try)
+            dec = c1 * _dot(g, tr.sub(m_try, m))
+        else:
+            dec = c1 * alpha * gTp
         phi_try, g_try = fg(m_try)
-        ok = phi_try <= phi + c1 * alpha * gTp
+        ok = phi_try <= phi + dec
         return (
             jnp.where(ok, alpha, 0.5 * alpha),
             k + 1,
@@ -130,16 +178,23 @@ def nlcg(
     tol: float = 1e-6,
     ls_max: int = 25,
     c1: float = 1e-4,
+    bounds=None,
     state: NLCGState = None,
 ) -> OptResult:
     """Nonlinear conjugate gradients (Polak–Ribière+ with automatic restart
     to steepest descent when the PR beta goes negative or the direction
-    loses descent)."""
+    loses descent). ``bounds=(lo, hi)`` switches to the projected variant
+    (trial points clipped onto the box, projected-gradient stopping rule) —
+    the velocity-bound constraint of production FWI."""
+    proj = _make_proj(bounds)
     if state is None:
+        if proj is not None:
+            m0 = proj(m0)
         phi0, g0 = fg(m0)
         st = NLCGState(
             m0, phi0, g0, tr.scale(-1.0, g0),
-            1.0 / jnp.maximum(_norm(g0), 1e-30), _norm(g0), jnp.asarray(0),
+            1.0 / jnp.maximum(_norm(g0), 1e-30),
+            _pgnorm(m0, g0, proj), jnp.asarray(0),
         )
     else:
         st = state
@@ -151,7 +206,7 @@ def nlcg(
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (_norm(st.g) > tol * g0norm)
+        return (st.i < maxiter) & (_pgnorm(st.m, st.g, proj) > tol * g0norm)
 
     def body(carry):
         st, hist = carry
@@ -163,6 +218,7 @@ def nlcg(
         m, phi, g, alpha, ok = _armijo(
             fg, st.m, st.phi, st.g, p,
             jnp.maximum(st.alpha, 1e-30) * 2.0, c1=c1, ls_max=ls_max,
+            proj=proj,
         )
         # a fully-failed search keeps the point; reseed the step from the
         # gradient scale instead of letting alpha collapse toward 0
@@ -178,7 +234,7 @@ def nlcg(
         return NLCGState(m, phi, g, p_new, alpha, st.g0norm, st.i + 1), hist
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
-    return OptResult(st.m, st.i, st.phi, _norm(st.g), hist, st)
+    return OptResult(st.m, st.i, st.phi, _pgnorm(st.m, st.g, proj), hist, st)
 
 
 class LBFGSState(NamedTuple):
@@ -205,12 +261,18 @@ def lbfgs(
     tol: float = 1e-6,
     ls_max: int = 25,
     c1: float = 1e-4,
+    bounds=None,
     state: LBFGSState = None,
 ) -> OptResult:
     """Limited-memory BFGS with two-loop recursion over a fixed ``mem``-pair
     ring buffer and backtracking Armijo line search, all inside one
-    ``lax.while_loop``."""
+    ``lax.while_loop``. ``bounds=(lo, hi)`` switches to the projected
+    variant (each side ``None`` | scalar | model-congruent pytree — e.g.
+    bound only the velocity block of a BlockVector model)."""
+    proj = _make_proj(bounds)
     if state is None:
+        if proj is not None:
+            m0 = proj(m0)
         phi0, g0 = fg(m0)  # single trace of the objective graph
     else:
         g0 = state.g
@@ -223,7 +285,7 @@ def lbfgs(
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt),
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(1.0, dt),
-            _norm(g0), jnp.asarray(0),
+            _pgnorm(m0, g0, proj), jnp.asarray(0),
         )
     else:
         st = state
@@ -270,7 +332,7 @@ def lbfgs(
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (_norm(st.g) > tol * g0norm)
+        return (st.i < maxiter) & (_pgnorm(st.m, st.g, proj) > tol * g0norm)
 
     def body(carry):
         st, hist = carry
@@ -282,7 +344,8 @@ def lbfgs(
         alpha0 = jnp.where(st.count > 0, jnp.asarray(1.0, st.alpha.dtype),
                            1.0 / jnp.maximum(_norm(st.g), 1e-30))
         m, phi, g, alpha, _ok = _armijo(
-            fg, st.m, st.phi, st.g, p, alpha0, c1=c1, ls_max=ls_max
+            fg, st.m, st.phi, st.g, p, alpha0, c1=c1, ls_max=ls_max,
+            proj=proj,
         )
         s_f = ravel_pytree(tr.sub(m, st.m))[0]
         y_f = ravel_pytree(tr.sub(g, st.g))[0]
@@ -309,4 +372,4 @@ def lbfgs(
         )
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
-    return OptResult(st.m, st.i, st.phi, _norm(st.g), hist, st)
+    return OptResult(st.m, st.i, st.phi, _pgnorm(st.m, st.g, proj), hist, st)

@@ -22,6 +22,22 @@ from jets_tpu.ops.wave import wave_propagator
 
 SHAPE = (16, 8, 128)
 
+# receivers along the x-line through the source: the default strided
+# receiver set degenerates to the x=0 plane for W=128 shapes, which a
+# short-nt wavefront (support grows one cell per step) can NEVER reach —
+# traces would be exactly zero and every fused-vs-XLA agreement vacuous.
+SRC_ZYX = (8, 4, 64)
+RCV_LINE = jnp.asarray(
+    [np.ravel_multi_index((SRC_ZYX[0], SRC_ZYX[1], x), (16, 8, 128))
+     for x in range(128)], jnp.int32)
+
+
+def _assert_live(d):
+    """Guard against vacuously-passing agreement tests: the wavefront must
+    actually have reached some receivers."""
+    assert float(jnp.max(jnp.abs(d))) > 0.0, \
+        "test signal is identically zero — receivers unreachable"
+
 
 def _inputs(order, key=0):
     D, H, W = SHAPE
@@ -97,12 +113,14 @@ def test_fused_propagator_matches_xla_path(order):
     custom-jvp tangent/adjoint pass the dot-product gate."""
     kw = dict(nt=40, dt=6e-4, dx=10.0, freq=16.0,
               src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE,
               sponge_width=3, space_order=order, dtype=jnp.float32)
     Ff = wave_propagator(SHAPE, fused=True, **kw)
     Fx = wave_propagator(SHAPE, fused=False, **kw)
     c = jnp.full(SHAPE, 1500.0, jnp.float32) + 20.0 * jax.random.normal(
         jax.random.PRNGKey(5), SHAPE, jnp.float32)
     df, dx_ = Ff(c), Fx(c)
+    _assert_live(dx_)
     scale = float(jnp.max(jnp.abs(dx_))) or 1.0
     np.testing.assert_allclose(np.asarray(df) / scale,
                                np.asarray(dx_) / scale, atol=5e-5)
@@ -123,17 +141,25 @@ def test_fused_propagator_matches_xla_path(order):
 
 
 def test_fused_propagator_remat_path():
-    """Blocked remat composes with the custom-jvp fused step (gradient
-    equality vs the plain-checkpoint fused path)."""
+    """Blocked remat composes with the custom-jvp fused step: the gradient
+    matches the plain-checkpoint fused path to compile-grouping noise
+    (checkpoint boundaries change XLA's backward fusion groups — measured
+    ~3e-9 relative; it is NOT bit-equal once receivers carry real
+    signal)."""
     kw = dict(nt=24, dt=6e-4, dx=10.0, freq=16.0,
               src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE,
               sponge_width=3, dtype=jnp.float32)
     F1 = wave_propagator(SHAPE, fused=True, remat_blocks=1, **kw)
     F4 = wave_propagator(SHAPE, fused=True, remat_blocks=4, **kw)
     c = jnp.full(SHAPE, 1500.0, jnp.float32)
+    _assert_live(F1(c))
     g1 = jax.grad(lambda cc: jnp.sum(F1(cc) ** 2))(c)
     g4 = jax.grad(lambda cc: jnp.sum(F4(cc) ** 2))(c)
-    assert np.array_equal(np.asarray(g1), np.asarray(g4))
+    scale = float(np.max(np.abs(np.asarray(g1))))
+    assert scale > 0.0
+    np.testing.assert_allclose(np.asarray(g1) / scale,
+                               np.asarray(g4) / scale, rtol=0, atol=1e-6)
 
 
 # ---------------------------------------------------------------------- #
@@ -190,6 +216,7 @@ def test_fused_vti_propagator_matches_xla_path():
 
     kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0,
               src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE,
               sponge_width=3, dtype=jnp.float32)
     Ff = vti_wave_propagator(SHAPE, fused=True, **kw)
     Fx = vti_wave_propagator(SHAPE, fused=False, **kw)
@@ -197,6 +224,7 @@ def test_fused_vti_propagator_matches_xla_path():
     m = (Ff.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
          .setblock(2, full(0.05)))
     df, dx_ = Ff(m), Fx(m)
+    _assert_live(dx_)
     scale = float(jnp.max(jnp.abs(dx_))) or 1.0
     np.testing.assert_allclose(np.asarray(df) / scale,
                                np.asarray(dx_) / scale, atol=5e-5)
@@ -222,12 +250,14 @@ def test_fused_vti_odd_nt_and_remat():
 
     kw = dict(dt=6e-4, dx=10.0, freq=16.0,
               src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE,
               sponge_width=3, dtype=jnp.float32)
     full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
     F21 = vti_wave_propagator(SHAPE, nt=21, fused=True, **kw)
     m = (F21.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
          .setblock(2, full(0.05)))
     d21 = F21(m)
+    _assert_live(d21)
     assert d21.shape[0] == 21
     Fx = vti_wave_propagator(SHAPE, nt=21, fused=False, **kw)
     scale = float(jnp.max(jnp.abs(d21))) or 1.0
@@ -238,3 +268,137 @@ def test_fused_vti_odd_nt_and_remat():
     g = jax.grad(lambda b: jnp.sum(F4(m.setblock(0, full(1800.0) + b))
                                    ** 2))(full(0.0))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+# ---------------------------------------------------------------------- #
+# fused TTI coupled step
+# ---------------------------------------------------------------------- #
+
+
+def test_fused_tti_step_matches_xla():
+    """Kernel (p_next, q_next) vs the jitted XLA coupled TTI update
+    (six second derivatives per field, including the composed-first-
+    difference cross terms)."""
+    from jets_tpu.ops.pallas_wave import fits_tti_pallas, fused_tti_step
+    from jets_tpu.ops.wave import _d1_axis, _d2_axis
+
+    D, H, W = SHAPE
+    ks = jax.random.split(jax.random.PRNGKey(21), 10)
+    pp, p, qp, q = (jax.random.normal(k, SHAPE, jnp.float32)
+                    for k in ks[:4])
+    c2 = jax.random.uniform(ks[4], SHAPE, jnp.float32) + 0.5
+    ah = 1.0 + 0.2 * jax.random.uniform(ks[5], SHAPE, jnp.float32)
+    av = 1.0 + 0.1 * jax.random.uniform(ks[6], SHAPE, jnp.float32)
+    theta = 0.3 * jax.random.uniform(ks[7], SHAPE, jnp.float32)
+    phi = 2.0 * jax.random.uniform(ks[8], SHAPE, jnp.float32)
+    nz = jnp.cos(theta)
+    st = jnp.sin(theta)
+    ny = st * jnp.cos(phi)
+    nx = st * jnp.sin(phi)
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+    inv_dx2, inv_dx = jnp.float32(0.01), jnp.float32(0.1)
+    s_t, amp = jnp.float32(0.3), jnp.float32(0.125)
+    src = 5 * H * W + 3 * W + 17
+    assert fits_tti_pallas(SHAPE, jnp.float32, 2)
+
+    po, qo = fused_tti_step(pp, p, qp, q, c2, ah, av, nz, ny, nx, sz,
+                            sy.reshape(H, 1), sx.reshape(1, W),
+                            inv_dx2, inv_dx, s_t, src, amp,
+                            order=2, interpret=True)
+
+    czz, cyy, cxx = nz * nz, ny * ny, nx * nx
+    czy, czx, cyx = 2.0 * nz * ny, 2.0 * nz * nx, 2.0 * ny * nx
+
+    @jax.jit
+    def xla(pp, p, qp, q):
+        def dij(u, i, j):
+            return _d1_axis(_d1_axis(u, i, inv_dx, 2), j, inv_dx, 2)
+
+        def HV(u):
+            uzz = _d2_axis(u, 0, inv_dx2, 2)
+            uyy = _d2_axis(u, 1, inv_dx2, 2)
+            uxx = _d2_axis(u, 2, inv_dx2, 2)
+            uzy, uzx, uyx = dij(u, 0, 1), dij(u, 0, 2), dij(u, 1, 2)
+            V = (czz * uzz + cyy * uyy + cxx * uxx
+                 + czy * uzy + czx * uzx + cyx * uyx)
+            Hh = ((1.0 - czz) * uzz + (1.0 - cyy) * uyy + (1.0 - cxx) * uxx
+                  - czy * uzy - czx * uzx - cyx * uyx)
+            return Hh, V
+
+        Hp, _ = HV(p)
+        _, Vq = HV(q)
+        sponge = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(
+            1, 1, W)
+        mask = (jnp.zeros((D * H * W,), jnp.float32).at[src].set(amp)
+                .reshape(SHAPE))
+        pn = (2.0 * p - pp + c2 * (ah * Hp + av * Vq)) * sponge + s_t * mask
+        qn = (2.0 * q - qp + c2 * (av * Hp + Vq)) * sponge + s_t * mask
+        return pn, qn
+
+    pn, qn = xla(pp, p, qp, q)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(pn),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qo), np.asarray(qn),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_tti_propagator_matches_xla_path():
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE,
+              sponge_width=3, dtype=jnp.float32)
+    Ff = tti_wave_propagator(SHAPE, fused=True, **kw)
+    Fx = tti_wave_propagator(SHAPE, fused=False, **kw)
+    full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
+    m = (Ff.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
+         .setblock(2, full(0.05)).setblock(3, full(0.2))
+         .setblock(4, full(0.7)))
+    df, dx_ = Ff(m), Fx(m)
+    _assert_live(dx_)
+    scale = float(jnp.max(jnp.abs(dx_))) or 1.0
+    np.testing.assert_allclose(np.asarray(df) / scale,
+                               np.asarray(dx_) / scale, atol=5e-5)
+
+    J = Ff.linearize(m)
+    mm = J.dom.randn(jax.random.PRNGKey(22))
+    dd = J.rng.randn(jax.random.PRNGKey(23))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    # gradients of fused vs XLA propagators agree (the fused step's tangent
+    # IS the XLA expression) — checked through the tilt-angle block too
+    def loss(F):
+        return jax.grad(lambda b: jnp.sum(F(m.setblock(3, full(0.2)
+                                            + b)) ** 2))(full(0.0))
+
+    gf, gx = loss(Ff), loss(Fx)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-3,
+                               atol=1e-5 * float(jnp.max(jnp.abs(gx))))
+
+
+def test_fused_tti_odd_nt_and_gating():
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    kw = dict(dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE,
+              sponge_width=3, dtype=jnp.float32)
+    full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
+    F21 = tti_wave_propagator(SHAPE, nt=21, fused=True, **kw)
+    m = (F21.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
+         .setblock(2, full(0.05)).setblock(3, full(0.15))
+         .setblock(4, full(0.4)))
+    d21 = F21(m)
+    _assert_live(d21)
+    assert d21.shape[0] == 21
+    Fx = tti_wave_propagator(SHAPE, nt=21, fused=False, **kw)
+    scale = float(jnp.max(jnp.abs(d21))) or 1.0
+    np.testing.assert_allclose(np.asarray(d21) / scale,
+                               np.asarray(Fx(m)) / scale, atol=5e-5)
+    # 2-D grids cannot take the fused path
+    with pytest.raises(ValueError, match="fused TTI"):
+        tti_wave_propagator((8, 128), nt=4, fused=True)

@@ -918,3 +918,211 @@ def test_tti3d_jacobian_dot_product_gate():
     d = J.rng.randn(jax.random.PRNGKey(41))
     lhs, rhs = jt.dot_product_test(J, m, d)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------- #
+# dtmod/dtrec recording-grid time interpolation
+# ---------------------------------------------------------------------- #
+
+
+class TestDtrec:
+    SHAPE = (24, 24)
+    KW = dict(dt=1e-3, dx=10.0, freq=18.0, src_idx=12 * 24 + 12,
+              sponge_width=4, dtype=jnp.float32)
+
+    def test_integer_ratio_is_exact_subsampling(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        c = jnp.full(self.SHAPE, 1500.0, jnp.float32)
+        F1 = wave_propagator(self.SHAPE, nt=41, **self.KW)
+        F2 = wave_propagator(self.SHAPE, nt=41, dtrec=2e-3, **self.KW)
+        d1, d2 = F1(c), F2(c)
+        assert d2.shape[0] == 21
+        # integer sample points carry weight exactly 0 → bitwise equality
+        assert np.array_equal(np.asarray(d2), np.asarray(d1)[::2])
+
+    def test_fractional_ratio_matches_numpy_interp(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        c = jnp.full(self.SHAPE, 1500.0, jnp.float32)
+        F1 = wave_propagator(self.SHAPE, nt=40, **self.KW)
+        Fr = wave_propagator(self.SHAPE, nt=40, dtrec=1.5e-3, **self.KW)
+        d1 = np.asarray(F1(c), np.float64)
+        dr = np.asarray(Fr(c))
+        t_f = np.arange(40) * 1e-3
+        t_r = np.arange(dr.shape[0]) * 1.5e-3
+        want = np.stack(
+            [np.interp(t_r, t_f, d1[:, k]) for k in range(d1.shape[1])],
+            axis=1)
+        np.testing.assert_allclose(dr, want, rtol=1e-5, atol=1e-7)
+
+    def test_adjoint_gate_and_gradient(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        F = wave_propagator(self.SHAPE, nt=30, dtrec=2.5e-3, **self.KW)
+        c0 = jnp.full(self.SHAPE, 1500.0, jnp.float32)
+        J = F.linearize(c0)
+        m = J.dom.randn(jax.random.PRNGKey(31)).astype(jnp.float32)
+        d = J.rng.randn(jax.random.PRNGKey(32)).astype(jnp.float32)
+        lhs, rhs = jt.dot_product_test(J, m, d)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    def test_multishot_and_anisotropic_ranges(self):
+        from jets_tpu.ops.wave import (multishot_wave_operator,
+                                       vti_wave_propagator)
+
+        kw = {k: v for k, v in self.KW.items() if k != "src_idx"}
+        F = multishot_wave_operator(
+            self.SHAPE, [100, 200], nt=21, dtrec=2e-3, **kw)
+        assert F.rng.shape == (2, 11, F.rng.shape[2])
+        c = jnp.full(self.SHAPE, 1500.0, jnp.float32)
+        assert F(c).shape == F.rng.shape
+
+        shape3 = (12, 8, 128)
+        rcv3 = jnp.asarray(
+            [np.ravel_multi_index((6, 4, x), shape3) for x in range(128)],
+            jnp.int32)
+        Fv = vti_wave_propagator(
+            shape3, nt=21, dt=1e-3, dx=10.0, freq=18.0,
+            src_idx=int(np.ravel_multi_index((6, 4, 64), shape3)),
+            rcv_idx=rcv3, sponge_width=3, dtrec=2e-3, fused=False,
+            dtype=jnp.float32)
+        assert Fv.rng.shape[0] == 11
+
+    def test_dtrec_validation(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        with pytest.raises(ValueError, match="dtrec"):
+            wave_propagator(self.SHAPE, nt=8, dtrec=1e-4, **self.KW)
+
+
+# ---------------------------------------------------------------------- #
+# stored (compressed) forward-wavefield adjoint — the CvxCompress slot
+# ---------------------------------------------------------------------- #
+
+
+class TestStoredAdjoint:
+    SHAPE2 = (24, 24)
+    KW2 = dict(nt=36, dt=1e-3, dx=10.0, freq=18.0, src_idx=12 * 24 + 12,
+               sponge_width=4, dtype=jnp.float32)
+    SHAPE3 = (12, 8, 128)
+    # receivers along the x-line through the source — the default strided
+    # set degenerates to the (unreachable) x=0 plane for W=128 shapes
+    RCV3 = jnp.asarray(
+        [np.ravel_multi_index((6, 4, x), (12, 8, 128)) for x in range(128)],
+        jnp.int32)
+    KW3 = dict(nt=24, dt=6e-4, dx=10.0, freq=16.0,
+               src_idx=int(np.ravel_multi_index((6, 4, 64), (12, 8, 128))),
+               rcv_idx=RCV3, sponge_width=3, dtype=jnp.float32)
+
+    def _grad(self, F, c0, d):
+        J = F.linearize(c0)
+        return np.asarray(J.H(d))
+
+    @pytest.mark.parametrize("dim", ["2d", "3d"])
+    def test_f32_storage_matches_autodiff_adjoint(self, dim):
+        from jets_tpu.ops.wave import wave_propagator
+
+        shape, kw = ((self.SHAPE2, self.KW2) if dim == "2d"
+                     else (self.SHAPE3, self.KW3))
+        Fa = wave_propagator(shape, **kw)
+        Fs = wave_propagator(shape, store_adjoint="f32", **kw)
+        c0 = jnp.full(shape, 1500.0, jnp.float32)
+        d = Fa.rng.randn(jax.random.PRNGKey(41)).astype(jnp.float32)
+        ga, gs = self._grad(Fa, c0, d), self._grad(Fs, c0, d)
+        assert float(np.max(np.abs(ga))) > 0.0, "vacuous: zero adjoint"
+        scale = float(np.max(np.abs(ga))) or 1.0
+        np.testing.assert_allclose(gs / scale, ga / scale,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_f32_dot_product_gate(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        F = wave_propagator(self.SHAPE2, store_adjoint="f32", **self.KW2)
+        J = F.linearize(jnp.full(self.SHAPE2, 1500.0, jnp.float32))
+        m = J.dom.randn(jax.random.PRNGKey(42)).astype(jnp.float32)
+        d = J.rng.randn(jax.random.PRNGKey(43)).astype(jnp.float32)
+        lhs, rhs = jt.dot_product_test(J, m, d)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    @pytest.mark.parametrize("store,tol", [("bf16", 2e-2), ("int8", 5e-2)])
+    def test_lossy_storage_preserves_gradient_direction(self, store, tol):
+        from jets_tpu.ops.wave import wave_propagator
+
+        Fa = wave_propagator(self.SHAPE2, **self.KW2)
+        Fs = wave_propagator(self.SHAPE2, store_adjoint=store, **self.KW2)
+        c0 = jnp.full(self.SHAPE2, 1500.0, jnp.float32)
+        # physical cotangent (modeled data), not white noise: the gradient
+        # direction is what FWI needs preserved
+        d = Fa(c0 * 1.02) - Fa(c0)
+        ga, gs = self._grad(Fa, c0, d), self._grad(Fs, c0, d)
+        cos = float(np.dot(ga.ravel(), gs.ravel())
+                    / (np.linalg.norm(ga) * np.linalg.norm(gs) + 1e-30))
+        assert cos > 1.0 - tol, f"{store}: cosine {cos}"
+        rel = np.linalg.norm(gs - ga) / (np.linalg.norm(ga) + 1e-30)
+        assert rel < 10 * tol, f"{store}: rel err {rel}"
+
+    def test_stored_composes_with_dtrec(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        kw = dict(self.KW2)
+        Fa = wave_propagator(self.SHAPE2, dtrec=2e-3, **kw)
+        Fs = wave_propagator(self.SHAPE2, dtrec=2e-3, store_adjoint="f32",
+                             **kw)
+        c0 = jnp.full(self.SHAPE2, 1500.0, jnp.float32)
+        d = Fa.rng.randn(jax.random.PRNGKey(44)).astype(jnp.float32)
+        ga, gs = self._grad(Fa, c0, d), self._grad(Fs, c0, d)
+        scale = float(np.max(np.abs(ga))) or 1.0
+        np.testing.assert_allclose(gs / scale, ga / scale,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_store_validation(self):
+        from jets_tpu.ops.wave import wave_propagator
+
+        with pytest.raises(ValueError, match="store_adjoint"):
+            wave_propagator(self.SHAPE2, store_adjoint="int4", **self.KW2)
+
+
+def test_multishot_tti_sharded_parity_and_gate():
+    """Sharded TTI shots: forward parity vs unsharded and the adjoint gate
+    through the tilt block (the derived psum adjoint returns the FULL
+    4-parameter gradient tuple)."""
+    from jets_tpu.ops.wave import multishot_tti_wave_operator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    grid = (16, 16)
+    srcs = jnp.array([16 * 4 + 4, 16 * 4 + 11, 16 * 11 + 4, 16 * 11 + 11,
+                      16 * 8 + 8, 16 * 2 + 8, 16 * 8 + 2, 16 * 13 + 8])
+    kw = dict(nt=24, dt=0.0008, dx=10.0, freq=18.0, sponge_width=3,
+              dtype=jnp.float64)
+    F0 = multishot_tti_wave_operator(grid, srcs, **kw)
+    F1 = multishot_tti_wave_operator(grid, srcs, mesh=make_block_mesh(8),
+                                     **kw)
+    m = F0.dom.zeros()
+    m = m.setblock(0, jnp.full(grid, 2000.0, jnp.float64))
+    m = m.setblock(1, jnp.full(grid, 0.12, jnp.float64))
+    m = m.setblock(2, jnp.full(grid, 0.05, jnp.float64))
+    m = m.setblock(3, jnp.full(grid, 0.3, jnp.float64))
+    d0, d1 = F0(m), F1(m)
+    assert d0.shape[0] == 8
+    assert float(jnp.max(jnp.abs(d0))) > 0
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-12)
+
+    J = F1.linearize(m)
+    mm = J.dom.randn(jax.random.PRNGKey(33))
+    dd = J.rng.randn(jax.random.PRNGKey(34))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+    # the sharded tilt-at-zero reduces to the sharded VTI multishot
+    from jets_tpu.ops.wave import multishot_vti_wave_operator
+    Fv = multishot_vti_wave_operator(grid, srcs, mesh=make_block_mesh(8),
+                                     **kw)
+    mv = Fv.dom.zeros()
+    for i in range(3):
+        mv = mv.setblock(i, m.getblock(i))
+    d_tti0 = F1(m.setblock(3, jnp.zeros(grid, jnp.float64)))
+    np.testing.assert_allclose(np.asarray(d_tti0), np.asarray(Fv(mv)),
+                               rtol=1e-12)
