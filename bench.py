@@ -133,7 +133,32 @@ def main():
 
     wt_lo, wt_hi = wave_time(20), wave_time(220)
     wave_step_us = (wt_hi - wt_lo) / 200 * 1e6
-    _stage(f"wave step done ({wave_step_us:.0f} us/step); matvec pair loop")
+    _stage(f"wave step done ({wave_step_us:.0f} us/step); TTI step")
+
+    # ---- 3-D fused TTI coupled step (the anisotropic flagship kernel:
+    # measured 4506 us/step XLA -> 1672 us/step fused = 2.70x on 256^3)
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    def tti_time(nt):
+        F = tti_wave_propagator(wshape, nt=nt, dt=5e-4, dx=10.0, freq=15.0,
+                                src_idx=7, sponge_width=12, fused=True,
+                                dtype=jnp.float32)
+
+        @jax.jit
+        def build(v):
+            full = lambda x: jnp.full(wshape, x, jnp.float32)  # noqa: E731
+            m = F.dom.zeros()
+            for i, val in enumerate((v, 0.1, 0.05, 0.2, 0.7)):
+                m = m.setblock(i, full(val))
+            return m
+
+        g = jax.jit(lambda v: jnp.sum(F(build(v)) ** 2))
+        t, _ = _timed(g, wread, [(jnp.float32(1500.0 + 10 * i),)
+                                 for i in range(4)])
+        return t
+
+    tti_step_us = (tti_time(60) - tti_time(10)) / 50 * 1e6
+    _stage(f"TTI step done ({tti_step_us:.0f} us/step); matvec pair loop")
 
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
@@ -167,6 +192,7 @@ def main():
                 "wave3d_step_us": round(wave_step_us, 2),
                 "wave3d_gcell_steps_per_s": round(
                     256**3 / wave_step_us / 1e3, 2),
+                "tti3d_step_us": round(tti_step_us, 2),
                 "relative_residual": round(resid_rel, 6),
                 "config": f"grid={GRID}, nshots={NSHOTS}, nrecv={NRECV}, f32",
                 "device": str(jax.devices()[0]),

@@ -80,44 +80,65 @@ def _norm(x):
 
 
 def _make_proj(bounds):
-    """Box-constraint projector from ``bounds = (lo, hi)`` — each side is
+    """Box-constraint machinery from ``bounds = (lo, hi)`` — each side is
     ``None`` (unbounded), a scalar (applied to every leaf), or a pytree
     congruent with the model (per-leaf bounds, e.g. a BlockVector bounding
-    only the velocity block). Returns ``None`` for unconstrained problems
-    so the solvers keep their exact unconstrained trace."""
+    only the velocity block). Returns ``(proj, pgrad)`` where ``proj``
+    clips onto the box and ``pgrad`` masks gradient components that point
+    out of the box at active constraints; ``None`` for unconstrained
+    problems so the solvers keep their exact unconstrained trace."""
     if bounds is None:
         return None
     lo, hi = bounds
     if lo is None and hi is None:
         return None
 
-    def _one_side(m, b, op):
-        if b is None:
-            return m
+    def _leafwise(f, b, *trees):
+        """Map ``f(leaf..., bound_leaf)`` with ``b`` either congruent with
+        the model pytree (per-leaf bounds) or broadcast to every leaf."""
         try:
             congruent = (jax.tree_util.tree_structure(b)
-                         == jax.tree_util.tree_structure(m))
+                         == jax.tree_util.tree_structure(trees[0]))
         except Exception:
             congruent = False
         if congruent:
-            return tr.tmap(op, m, b)
-        return tr.tmap(lambda x: op(x, b), m)
+            return tr.tmap(f, *trees, b)
+        return tr.tmap(lambda *xs: f(*xs, b), *trees)
 
     def proj(m):
-        m = _one_side(m, lo, jnp.maximum)
-        m = _one_side(m, hi, jnp.minimum)
+        if lo is not None:
+            m = _leafwise(jnp.maximum, lo, m)
+        if hi is not None:
+            m = _leafwise(jnp.minimum, hi, m)
         return m
 
-    return proj
+    def pgrad(m, g):
+        """Active-set projected gradient: at an active lower bound only
+        components that keep the point feasible (g <= 0, since the step is
+        ``-g``) survive; symmetrically at the upper bound. This measures
+        first-order optimality WITHOUT forming ``m - g`` (whose projection
+        underflows in f32 whenever ``|g| << ulp(|m|)`` — exactly the FWI
+        regime: velocity ~1.5e3, gradient ~1e-16)."""
+        if lo is not None:
+            g = _leafwise(
+                lambda gg, x, b: jnp.where(x <= b, jnp.minimum(gg, 0), gg),
+                lo, g, m)
+        if hi is not None:
+            g = _leafwise(
+                lambda gg, x, b: jnp.where(x >= b, jnp.maximum(gg, 0), gg),
+                hi, g, m)
+        return g
+
+    return proj, pgrad
 
 
 def _pgnorm(m, g, proj):
-    """Projected-gradient norm ``||m - P(m - g)||`` — the first-order
-    optimality measure for box constraints (reduces exactly to ``||g||``
-    when unconstrained)."""
+    """Projected-gradient norm — the first-order optimality measure for box
+    constraints (reduces exactly to ``||g||`` when unconstrained)."""
     if proj is None:
         return _norm(g)
-    return _norm(tr.sub(m, proj(tr.sub(m, g))))
+    _, pgrad = proj
+    return _norm(pgrad(m, g))
 
 
 def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max, proj=None):
@@ -186,7 +207,8 @@ def nlcg(
     loses descent). ``bounds=(lo, hi)`` switches to the projected variant
     (trial points clipped onto the box, projected-gradient stopping rule) —
     the velocity-bound constraint of production FWI."""
-    proj = _make_proj(bounds)
+    pb = _make_proj(bounds)
+    proj = None if pb is None else pb[0]
     if state is None:
         if proj is not None:
             m0 = proj(m0)
@@ -194,7 +216,7 @@ def nlcg(
         st = NLCGState(
             m0, phi0, g0, tr.scale(-1.0, g0),
             1.0 / jnp.maximum(_norm(g0), 1e-30),
-            _pgnorm(m0, g0, proj), jnp.asarray(0),
+            _pgnorm(m0, g0, pb), jnp.asarray(0),
         )
     else:
         st = state
@@ -206,7 +228,7 @@ def nlcg(
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (_pgnorm(st.m, st.g, proj) > tol * g0norm)
+        return (st.i < maxiter) & (_pgnorm(st.m, st.g, pb) > tol * g0norm)
 
     def body(carry):
         st, hist = carry
@@ -234,7 +256,7 @@ def nlcg(
         return NLCGState(m, phi, g, p_new, alpha, st.g0norm, st.i + 1), hist
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
-    return OptResult(st.m, st.i, st.phi, _pgnorm(st.m, st.g, proj), hist, st)
+    return OptResult(st.m, st.i, st.phi, _pgnorm(st.m, st.g, pb), hist, st)
 
 
 class LBFGSState(NamedTuple):
@@ -269,7 +291,8 @@ def lbfgs(
     ``lax.while_loop``. ``bounds=(lo, hi)`` switches to the projected
     variant (each side ``None`` | scalar | model-congruent pytree — e.g.
     bound only the velocity block of a BlockVector model)."""
-    proj = _make_proj(bounds)
+    pb = _make_proj(bounds)
+    proj = None if pb is None else pb[0]
     if state is None:
         if proj is not None:
             m0 = proj(m0)
@@ -285,7 +308,7 @@ def lbfgs(
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt),
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(1.0, dt),
-            _pgnorm(m0, g0, proj), jnp.asarray(0),
+            _pgnorm(m0, g0, pb), jnp.asarray(0),
         )
     else:
         st = state
@@ -332,7 +355,7 @@ def lbfgs(
 
     def cond(carry):
         st, _ = carry
-        return (st.i < maxiter) & (_pgnorm(st.m, st.g, proj) > tol * g0norm)
+        return (st.i < maxiter) & (_pgnorm(st.m, st.g, pb) > tol * g0norm)
 
     def body(carry):
         st, hist = carry
@@ -372,4 +395,4 @@ def lbfgs(
         )
 
     st, hist = lax.while_loop(cond, body, (st, hist0))
-    return OptResult(st.m, st.i, st.phi, _pgnorm(st.m, st.g, proj), hist, st)
+    return OptResult(st.m, st.i, st.phi, _pgnorm(st.m, st.g, pb), hist, st)
