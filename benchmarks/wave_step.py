@@ -34,7 +34,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dims", choices=["2d", "3d"])
     ap.add_argument("--physics", default="iso",
-                    choices=["iso", "vti", "q", "vd", "vdq", "cpml"])
+                    choices=["iso", "vti", "tti", "q", "vd", "vdq",
+                             "cpml"])
     ap.add_argument("--order", type=int, default=2)
     ap.add_argument("--no-fused", action="store_true",
                     help="force the XLA step (A/B vs the Pallas fused step)")
@@ -65,9 +66,15 @@ def main():
             return W.vti_wave_propagator(
                 shape, sponge_width=12, space_order=args.order,
                 fused=False if args.no_fused else None, **kw)
+        if args.physics == "tti":
+            return W.tti_wave_propagator(
+                shape, sponge_width=12, space_order=args.order,
+                fused=False if args.no_fused else None, **kw)
         if args.physics == "q":
-            return W.q_wave_propagator(shape, sponge_width=12,
-                                       space_order=args.order, **kw)
+            return W.q_wave_propagator(
+                shape, sponge_width=12, space_order=args.order,
+                fused=True if not args.no_fused and len(shape) == 3
+                else False, **kw)
         if args.physics == "vd":
             return W.vd_wave_propagator(shape, sponge_width=12, **kw)
         if args.physics == "vdq":
@@ -81,7 +88,9 @@ def main():
         if not isinstance(F.dom, BlockSpace):
             return c
         m = F.dom.zeros().setblock(0, c)
-        fills = {"vti": (0.1, 0.05), "q": (50.0,), "vd": (1e-3,),
+        fills = {"vti": (0.1, 0.05),
+                 "tti": ((0.1, 0.05, 0.2, 0.7)[:len(F.dom.spaces) - 1]),
+                 "q": (50.0,), "vd": (1e-3,),
                  "vdq": (1e-3, 50.0)}[args.physics]
         for i, v in enumerate(fills, start=1):
             m = m.setblock(i, jnp.full(shape, v, jnp.float32))

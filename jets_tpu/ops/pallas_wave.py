@@ -56,6 +56,7 @@ __all__ = [
     "fused_leapfrog_step", "wave_step_tile", "fits_wave_pallas",
     "fused_vti_step", "vti_step_tile", "fits_vti_pallas",
     "fused_tti_step", "tti_step_tile", "fits_tti_pallas",
+    "fused_q_step", "q_step_tile", "fits_q_pallas",
 ]
 
 
@@ -718,3 +719,188 @@ def fused_tti_step(p_prev, p, q_prev, q, c2dt2, ah, av, nz, ny, nx,
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, p_prev, q_prev, c2dt2, ah, av, nz, ny, nx,
       p, q)
+
+
+# ---------------------------------------------------------------------------
+# Fused visco-acoustic (Kosloff constant-Q) step — the attenuation leapfrog
+# of ops/wave.py::_propagate_q. Same slab pipeline as the isotropic kernel
+# with two extra blocked coefficient fields: the friction enters as
+#     u_next = S · ((2u − (1−γdt)·u_prev + c²dt²·∆u) · 1/(1+γdt)) + s·mask
+# so the minimum is SIX grid touches (u stencilled, u_prev, c²dt², 1−γdt,
+# 1/(1+γdt) read; u_next written, aliased onto u_prev). The reference
+# family's production propagators are all *DenQ (attenuating): this closes
+# the fused-kernel story for the single-field attenuating physics.
+# ---------------------------------------------------------------------------
+
+
+def _q_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
+              og_blk, ig_blk, u_hbm, out_blk, scratch, sems, *,
+              T, D, H, W, order):
+    c0, cs = _D2_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw
+
+    def center_dma(j, sl):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T, T)],
+            scratch.at[pl.ds(sl * P + hw, T)], sems.at[sl, 0])
+
+    def front_dma(j, sl):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T - hw, hw)],
+            scratch.at[pl.ds(sl * P, hw)], sems.at[sl, 1])
+
+    def back_dma(j, sl):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(j * T + T, hw)],
+            scratch.at[pl.ds(sl * P + hw + T, hw)], sems.at[sl, 2])
+
+    def start_slab(j, sl):
+        center_dma(j, sl).start()
+
+        @pl.when(j > 0)
+        def _():
+            front_dma(j, sl).start()
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back_dma(j, sl).start()
+
+    def wait_slab(j, sl):
+        center_dma(j, sl).wait()
+
+        @pl.when(j > 0)
+        def _():
+            front_dma(j, sl).wait()
+
+        @pl.when(j == 0)
+        def _():
+            scratch[pl.ds(sl * P, hw)] = jnp.zeros((hw, H, W), scratch.dtype)
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back_dma(j, sl).wait()
+
+        @pl.when(j == nsl - 1)
+        def _():
+            scratch[pl.ds(sl * P + hw + T, hw)] = jnp.zeros(
+                (hw, H, W), scratch.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        start_slab(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        start_slab(i + 1, nslot)
+
+    wait_slab(i, slot)
+
+    base = slot * P
+    c = scratch[pl.ds(base + hw, T)]
+    # EXACT laplacian_nd tree (as in _wave_kernel)
+    lap = (c0 * 3.0) * c
+    for s, coef in enumerate(cs, start=1):
+        zlo = scratch[pl.ds(base + hw - s, T)]
+        zhi = scratch[pl.ds(base + hw + s, T)]
+        if coef == 1.0:
+            lap = lap + zlo + zhi
+        else:
+            lap = lap + coef * (zlo + zhi)
+    for s, coef in enumerate(cs, start=1):
+        ylo = jnp.pad(c[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
+        yhi = jnp.pad(c[:, s:, :], ((0, 0), (0, s), (0, 0)))
+        if coef == 1.0:
+            lap = lap + ylo + yhi
+        else:
+            lap = lap + coef * (ylo + yhi)
+    for s, coef in enumerate(cs, start=1):
+        xlo = jnp.pad(c[:, :, :-s], ((0, 0), (0, 0), (s, 0)))
+        xhi = jnp.pad(c[:, :, s:], ((0, 0), (0, 0), (0, s)))
+        if coef == 1.0:
+            lap = lap + xlo + xhi
+        else:
+            lap = lap + coef * (xlo + xhi)
+
+    # EXACT _propagate_q tree: (2u − om1g·up + c²dt²·lap) · inv1pg
+    e = (2.0 * c - og_blk[...] * up_blk[...] + c2_blk[...] * lap) \
+        * ig_blk[...]
+
+    s_t = scal_ref[0]
+    amp = scal_ref[1]
+    iy = lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
+    yx = iy * W + ix
+    for t in range(T):
+        plane = (spz_ref[i * T + t] * sy_blk[...]) * sx_blk[...]
+        flat_t = (i * T + t) * (H * W) + yx
+        mask_t = jnp.where(flat_t == idx_ref[0], amp, jnp.zeros_like(amp))
+        out_blk[pl.ds(t, 1)] = e[t:t + 1] * plane[None] + s_t * mask_t
+
+
+def q_step_tile(shape, order: int, itemsize: int = 4):
+    """5 blocked grid arrays double-buffered (10·T) + the u DMA ring."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        vmem = (2 * (t + 2 * hw) + 10 * t) * H * W * itemsize
+        if vmem <= 12 * 2**20:
+            return t
+    return None
+
+
+def fits_q_pallas(shape, dtype, order: int) -> bool:
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    return q_step_tile(shape, order) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("order", "interpret"))
+def fused_q_step(u_prev, u, c2dt2, om1g, inv1pg, spz, sy, sx, s_t, src_idx,
+                 amp, *, order: int = 2, interpret: bool = False):
+    """One Kosloff constant-Q leapfrog step in a single slab-pipelined pass
+    (6 grid touches; ``u_prev`` aliased in place to ``u_next``). Raw
+    kernel; ``ops/wave.py`` wraps it in ``custom_jvp``."""
+    D, H, W = u.shape
+    T = q_step_tile(u.shape, order, u.dtype.itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {u.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.stack([jnp.asarray(s_t, u.dtype), jnp.asarray(amp, u.dtype)])
+    sidx = jnp.asarray(src_idx, jnp.int32).reshape(1)
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_q_kernel, T=T, D=D, H=H, W=W, order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((D, H, W), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), u.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        input_output_aliases={} if interpret else {5: 0},
+        interpret=interpret,
+    )(scal, sidx, spz, sy, sx, u_prev, c2dt2, om1g, inv1pg, u)

@@ -1170,8 +1170,11 @@ def vdq_wave_propagator(
 
 
 def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
-                 order: int = 2, remat_blocks: int = 1):
-    """Leapfrog with Kosloff constant-Q friction; returns (nt, nrcv)."""
+                 order: int = 2, remat_blocks: int = 1, fused=None):
+    """Leapfrog with Kosloff constant-Q friction; returns (nt, nrcv).
+    ``fused`` selects the Pallas attenuating step
+    (``pallas_wave.fused_q_step``) — ``None`` = auto on TPU in the 3-D
+    regime; callers that vmap this must pass ``fused=False``."""
     import math
 
     shape = c.shape
@@ -1190,6 +1193,82 @@ def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
             jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
             .reshape(shape)
         )
+
+    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_q_pallas
+
+        can_fuse = fits_q_pallas(shape, c.dtype, order)
+    if fused is None:
+        # MEASURED (256³ f32, TPU v5e, marginal over two nt budgets): the
+        # fused Q kernel LOSES in the real scan — 777 vs 525 µs/step.
+        # XLA fuses the single-field attenuating body well, and the two
+        # extra coefficient fields force the kernel's slab tile down to
+        # T=2 (vs T=4 for the isotropic kernel), paying DMA overhead per
+        # slab. Same lesson as the lap3d epilogue (CLAUDE.md): a kernel
+        # that is correct and roofline-capable standalone can lose
+        # in-body. Default is therefore the XLA step; the kernel stays
+        # available (and correctness-gated) as an opt-in for shapes where
+        # it may win.
+        fused = False
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused Q step requires a 3-D f32 grid with aligned minor dims"
+        )
+
+    if fused:
+        from .pallas_wave import fused_q_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]
+        spy = sponge[1][0]
+        spx = sponge[2][0]
+
+        @jax.custom_jvp
+        def step_core(u_prev, u, c2, og, ig, s_t):
+            return fused_q_step(
+                u_prev, u, c2, og, ig, spz, spy, spx, s_t, src_idx, amp,
+                order=order, interpret=interp,
+            )
+
+        @step_core.defjvp
+        def _step_jvp(primals, tangents):
+            out = step_core(*primals)
+            mask = _iota_src_mask(shape, src_idx, amp)
+
+            def xla_step(up, u, c2, og, ig, s_t):
+                lap = _laplacian(u, order=order)
+                return _mul_sponge(
+                    (2.0 * u - og * up + c2 * lap) * ig, sponge
+                ) + s_t * mask
+
+            _, dout = jax.jvp(xla_step, primals, tangents)
+            return out, dout
+
+        def one_step(carry, s_t):
+            u_prev, u = carry
+            u_next = step_core(u_prev, u, c2dt2, om1g, inv1pg, s_t)
+            rec = u_next.reshape(-1)[rcv_idx]
+            return (u, u_next), rec
+
+        # paired two-steps-per-iteration: fresh carry writes so the
+        # kernel's in-place aliasing donates with no rotation copies
+        def step(carry, s_pair):
+            c1, r1 = one_step(carry, s_pair[0])
+            c2_, r2 = one_step(c1, s_pair[1])
+            return c2_, jnp.stack((r1, r2))
+
+        nt = int(src_wavelet.shape[0])
+        pad = nt % 2
+        wav = src_wavelet
+        if pad:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xs = wav.reshape(((nt + pad) // 2, 2) + wav.shape[1:])
+        zero = (src_idx * 0).astype(c.dtype)
+        u0 = jnp.zeros(shape, c.dtype) + zero
+        (_, _), traces = _scan_remat(step, (u0, u0), xs, remat_blocks)
+        return traces.reshape((nt + pad,) + traces.shape[2:])[:nt]
 
     def step(carry, s_t):
         u_prev, u = carry
@@ -1220,6 +1299,8 @@ def q_wave_propagator(
     sponge_width: int = 12,
     space_order: int = 2,
     remat_blocks: int = 1,
+    fused=None,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Two-parameter visco-acoustic forward modeling ``F: (c, Q) → traces``
@@ -1246,17 +1327,19 @@ def q_wave_propagator(
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
     f0 = float(freq if f0 is None else f0)
 
     def _f(m, state):
         c = m.getblock(0).reshape(grid_shape)
         q = m.getblock(1).reshape(grid_shape)
-        return _propagate_q(
+        traces = _propagate_q(
             c, q, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, f0=f0, sponge=state["sponge"], order=space_order,
-            remat_blocks=remat_blocks,
+            remat_blocks=remat_blocks, fused=fused,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dm, m0, state):
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
@@ -1424,7 +1507,7 @@ def _offgrid_axis_contract(W, u, ax):
 
 def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
                    sponge, order: int = 2, remat_blocks: int = 1,
-                   fused=None):
+                   fused=None, og=None, ig=None):
     """Coupled leapfrog for the pseudo-acoustic VTI system (axis 0 = z):
 
         p_tt = c² [(1+2ε) Lh(p) + √(1+2δ) ∂zz q] + s
@@ -1452,7 +1535,11 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
             .reshape(shape)
         )
 
-    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    # static-Q Kosloff friction (the DenQ slot of the reference family's
+    # anisotropic propagators): the fused kernel does not take friction
+    # fields, so a Q'ed propagator rides the XLA path
+    can_fuse = (og is None and iota_src and isinstance(sponge, tuple)
+                and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_vti_pallas
 
@@ -1461,7 +1548,8 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
         fused = can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
         raise ValueError(
-            "fused VTI step requires a 3-D f32 grid with aligned minor dims"
+            "fused VTI step requires a 3-D f32 grid with aligned minor "
+            "dims (and no static-Q friction)"
         )
 
     def _xla_update(p_prev, p, q_prev, q, c2, ah_, av_, s_t, mask):
@@ -1469,12 +1557,14 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
         for ax in range(2, nd):
             lh = lh + _d2_axis(p, ax, inv_dx2, order)
         dzz = _d2_axis(q, 0, inv_dx2, order)
-        p_next = _mul_sponge(2.0 * p - p_prev
-                             + c2 * (ah_ * lh + av_ * dzz), sponge) \
-            + s_t * mask
-        q_next = _mul_sponge(2.0 * q - q_prev
-                             + c2 * (av_ * lh + dzz), sponge) \
-            + s_t * mask
+        if og is None:
+            e_p = 2.0 * p - p_prev + c2 * (ah_ * lh + av_ * dzz)
+            e_q = 2.0 * q - q_prev + c2 * (av_ * lh + dzz)
+        else:
+            e_p = (2.0 * p - og * p_prev + c2 * (ah_ * lh + av_ * dzz)) * ig
+            e_q = (2.0 * q - og * q_prev + c2 * (av_ * lh + dzz)) * ig
+        p_next = _mul_sponge(e_p, sponge) + s_t * mask
+        q_next = _mul_sponge(e_q, sponge) + s_t * mask
         return p_next, q_next
 
     if fused:
@@ -1573,6 +1663,8 @@ def vti_wave_propagator(
     remat_blocks: int = 1,
     fused=None,
     dtrec: Optional[float] = None,
+    q=None,
+    f0: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Three-parameter VTI anisotropic forward modeling
@@ -1582,7 +1674,17 @@ def vti_wave_propagator(
     rematerialized coupled scan; the adjoint returns the (δc, δε, δδ)
     gradient triple in one reverse pass. With ``ε = δ = 0`` the system
     reduces exactly to :func:`wave_propagator`'s isotropic physics (the
-    suite pins the reduction to roundoff)."""
+    suite pins the reduction to roundoff).
+
+    ``q=`` adds STATIC Kosloff constant-Q friction to both coupled fields
+    (scalar or grid-shaped quality factor at reference frequency ``f0``,
+    default the source ``freq``) — the attenuating "DenQ" variant of the
+    reference family's VTI propagators. Static: Q is a modeling parameter,
+    not part of the inversion domain (the jet still differentiates through
+    (c, ε, δ)); a Q'ed propagator rides the XLA step (the fused kernel
+    takes no friction fields)."""
+    import math
+
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
@@ -1590,11 +1692,19 @@ def vti_wave_propagator(
     if fused:
         from .pallas_wave import fits_vti_pallas
 
+        if q is not None:
+            raise ValueError("fused VTI step does not support static Q")
         if not fits_vti_pallas(grid_shape, dtype, space_order):
             raise ValueError(
                 "fused VTI step requires a 3-D f32 grid with "
                 "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
             )
+    og = ig = None
+    if q is not None:
+        g = (math.pi * float(freq if f0 is None else f0) * dt) \
+            / jnp.asarray(q, dtype)
+        og = jnp.broadcast_to(1.0 - g, grid_shape).astype(dtype)
+        ig = jnp.broadcast_to(1.0 / (1.0 + g), grid_shape).astype(dtype)
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp, gsp, gsp])
     if rcv_idx is None:
@@ -1611,7 +1721,7 @@ def vti_wave_propagator(
             m.getblock(0), m.getblock(1), m.getblock(2),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-            remat_blocks=remat_blocks, fused=fused,
+            remat_blocks=remat_blocks, fused=fused, og=og, ig=ig,
         )
         return _resample(traces) if _resample is not None else traces
 
@@ -1656,7 +1766,8 @@ def _dxz(u, inv_dx, order: int = 2):
 
 
 def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
-                   dt, dx, sponge, order: int = 2, remat_blocks: int = 1):
+                   dt, dx, sponge, order: int = 2, remat_blocks: int = 1,
+                   og=None, ig=None):
     if c.ndim != 2:
         raise ValueError("tti propagator is 2-D (tilt in the x-z plane)")
     shape = c.shape
@@ -1685,10 +1796,15 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
         qxz = _dxz(q, inv_dx, order)
         Hp = ct2 * pxx + st2 * pzz - s2t * pxz
         Vq = st2 * qxx + ct2 * qzz + s2t * qxz
-        p_next = (2.0 * p - p_prev + c2dt2 * (ah * Hp + av * Vq)) * sponge \
-            + s_t * src_mask
-        q_next = (2.0 * q - q_prev + c2dt2 * (av * Hp + Vq)) * sponge \
-            + s_t * src_mask
+        if og is None:
+            e_p = 2.0 * p - p_prev + c2dt2 * (ah * Hp + av * Vq)
+            e_q = 2.0 * q - q_prev + c2dt2 * (av * Hp + Vq)
+        else:
+            e_p = (2.0 * p - og * p_prev
+                   + c2dt2 * (ah * Hp + av * Vq)) * ig
+            e_q = (2.0 * q - og * q_prev + c2dt2 * (av * Hp + Vq)) * ig
+        p_next = e_p * sponge + s_t * src_mask
+        q_next = e_q * sponge + s_t * src_mask
         rec = p_next.reshape(-1)[rcv_idx]
         return (p, p_next, q, q_next), rec
 
@@ -1701,7 +1817,7 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
 
 def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
                      rcv_idx, *, dt, dx, sponge, order: int = 2,
-                     remat_blocks: int = 1, fused=None):
+                     remat_blocks: int = 1, fused=None, og=None, ig=None):
     """3-D tilted-TI pseudo-acoustics with azimuth. The symmetry axis is
     the unit vector ``n = (cosθ, sinθ·cosφ, sinθ·sinφ)`` in (z, y, x); the
     rotated vertical operator is the directional second derivative
@@ -1738,7 +1854,8 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
             .reshape(shape)
         )
 
-    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    can_fuse = (og is None and iota_src and isinstance(sponge, tuple)
+                and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_tti_pallas
 
@@ -1747,7 +1864,8 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
         fused = can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
         raise ValueError(
-            "fused TTI step requires a 3-D f32 grid with aligned minor dims"
+            "fused TTI step requires a 3-D f32 grid with aligned minor "
+            "dims (and no static-Q friction)"
         )
 
     def _dij(u, i, j):
@@ -1856,12 +1974,15 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
         mask = _iota_src_mask(shape, src_idx, amp) if iota_src else src_mask
         Hp, _ = _HV(p)
         _, Vq = _HV(q)
-        p_next = _mul_sponge(2.0 * p - p_prev
-                             + c2dt2 * (ah * Hp + av * Vq), sponge) \
-            + s_t * mask
-        q_next = _mul_sponge(2.0 * q - q_prev
-                             + c2dt2 * (av * Hp + Vq), sponge) \
-            + s_t * mask
+        if og is None:
+            e_p = 2.0 * p - p_prev + c2dt2 * (ah * Hp + av * Vq)
+            e_q = 2.0 * q - q_prev + c2dt2 * (av * Hp + Vq)
+        else:
+            e_p = (2.0 * p - og * p_prev
+                   + c2dt2 * (ah * Hp + av * Vq)) * ig
+            e_q = (2.0 * q - og * q_prev + c2dt2 * (av * Hp + Vq)) * ig
+        p_next = _mul_sponge(e_p, sponge) + s_t * mask
+        q_next = _mul_sponge(e_q, sponge) + s_t * mask
         rec = p_next.reshape(-1)[rcv_idx]
         return (p, p_next, q, q_next), rec
 
@@ -1886,6 +2007,8 @@ def tti_wave_propagator(
     remat_blocks: int = 1,
     fused=None,
     dtrec: Optional[float] = None,
+    q=None,
+    f0: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """TTI anisotropic forward modeling — JetPackWaveFD's tilted-TI physics.
@@ -1898,7 +2021,15 @@ def tti_wave_propagator(
     and azimuth in 3-D; angles in radians). ``θ = 0`` reduces exactly to
     :func:`vti_wave_propagator` in BOTH dimensions (pinned). Conditionally
     stable like all pseudo-acoustic TTI schemes: keep ``ε ≥ δ`` and the
-    angle fields smooth."""
+    angle fields smooth.
+
+    ``q=`` adds STATIC Kosloff constant-Q friction to both coupled fields
+    (scalar or grid-shaped; reference frequency ``f0`` defaults to the
+    source ``freq``) — completing the parameter set of the reference
+    family's ``Prop*AcoTTIDenQ`` production propagators. Static Q rides
+    the XLA step."""
+    import math
+
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
@@ -1909,12 +2040,20 @@ def tti_wave_propagator(
     if fused:
         from .pallas_wave import fits_tti_pallas
 
+        if q is not None:
+            raise ValueError("fused TTI step does not support static Q")
         if not three_d or not fits_tti_pallas(grid_shape, dtype,
                                               space_order):
             raise ValueError(
                 "fused TTI step requires a 3-D f32 grid with "
                 "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
             )
+    og = ig = None
+    if q is not None:
+        g = (math.pi * float(freq if f0 is None else f0) * dt) \
+            / jnp.asarray(q, dtype)
+        og = jnp.broadcast_to(1.0 - g, grid_shape).astype(dtype)
+        ig = jnp.broadcast_to(1.0 / (1.0 + g), grid_shape).astype(dtype)
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp] * (5 if three_d else 4))
     if rcv_idx is None:
@@ -1933,14 +2072,14 @@ def tti_wave_propagator(
                 m.getblock(4),
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-                remat_blocks=remat_blocks, fused=fused,
+                remat_blocks=remat_blocks, fused=fused, og=og, ig=ig,
             )
             return _resample(traces) if _resample is not None else traces
         traces = _propagate_tti(
             m.getblock(0), m.getblock(1), m.getblock(2), m.getblock(3),
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-            remat_blocks=remat_blocks,
+            remat_blocks=remat_blocks, og=og, ig=ig,
         )
         return _resample(traces) if _resample is not None else traces
 

@@ -402,3 +402,97 @@ def test_fused_tti_odd_nt_and_gating():
     # 2-D grids cannot take the fused path
     with pytest.raises(ValueError, match="fused TTI"):
         tti_wave_propagator((8, 128), nt=4, fused=True)
+
+
+# ---------------------------------------------------------------------- #
+# fused visco-acoustic (Kosloff constant-Q) step
+# ---------------------------------------------------------------------- #
+
+
+def test_fused_q_step_bit_exact_order2():
+    """Kernel vs the jitted XLA attenuating update (exact tree at order 2)."""
+    from jets_tpu.ops.pallas_wave import fits_q_pallas, fused_q_step
+
+    D, H, W = SHAPE
+    ks = jax.random.split(jax.random.PRNGKey(15), 5)
+    up, u = (jax.random.normal(k, SHAPE, jnp.float32) for k in ks[:2])
+    c2 = jax.random.uniform(ks[2], SHAPE, jnp.float32) + 0.5
+    og = 1.0 - 0.02 * jax.random.uniform(ks[3], SHAPE, jnp.float32)
+    ig = 1.0 / (1.0 + 0.02 * jax.random.uniform(ks[4], SHAPE, jnp.float32))
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+    s_t, amp = jnp.float32(0.37), jnp.float32(2.5e-7)
+    src = 5 * H * W + 3 * W + 17
+    assert fits_q_pallas(SHAPE, jnp.float32, 2)
+
+    out = fused_q_step(up, u, c2, og, ig, sz, sy.reshape(H, 1),
+                       sx.reshape(1, W), s_t, src, amp,
+                       order=2, interpret=True)
+
+    @jax.jit
+    def xla(up, u, c2):
+        lap = laplacian_nd(u, order=2)
+        sponge = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(
+            1, 1, W)
+        mask = (jnp.zeros((D * H * W,), jnp.float32).at[src].set(amp)
+                .reshape(SHAPE))
+        return ((2.0 * u - og * up + c2 * lap) * ig) * sponge + s_t * mask
+
+    assert np.array_equal(np.asarray(out), np.asarray(xla(up, u, c2))), \
+        "order-2 fused Q step must be bit-exact vs the jitted XLA step"
+
+
+def test_fused_q_propagator_matches_xla_path():
+    from jets_tpu.ops.wave import q_wave_propagator
+
+    kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE, sponge_width=3, dtype=jnp.float32)
+    Ff = q_wave_propagator(SHAPE, fused=True, **kw)
+    Fx = q_wave_propagator(SHAPE, fused=False, **kw)
+    full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
+    m = Ff.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(60.0))
+    df, dx_ = Ff(m), Fx(m)
+    _assert_live(dx_)
+    scale = float(jnp.max(jnp.abs(dx_))) or 1.0
+    np.testing.assert_allclose(np.asarray(df) / scale,
+                               np.asarray(dx_) / scale, atol=5e-5)
+
+    J = Ff.linearize(m)
+    mm = J.dom.randn(jax.random.PRNGKey(16))
+    dd = J.rng.randn(jax.random.PRNGKey(17))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    # gradient through BOTH model blocks (velocity and Q) matches XLA
+    def loss(F):
+        gm = jax.grad(lambda b: jnp.sum(F(m.setblock(1, full(60.0) + b))
+                                        ** 2))(full(0.0))
+        return gm
+
+    gf, gx = loss(Ff), loss(Fx)
+    assert float(jnp.max(jnp.abs(gx))) > 0.0
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-3,
+                               atol=1e-5 * float(jnp.max(jnp.abs(gx))))
+
+
+def test_fused_q_odd_nt_and_dtrec():
+    from jets_tpu.ops.wave import q_wave_propagator
+
+    kw = dict(dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 4, 64), SHAPE)),
+              rcv_idx=RCV_LINE, sponge_width=3, dtype=jnp.float32)
+    full = lambda v: jnp.full(SHAPE, v, jnp.float32)  # noqa: E731
+    F21 = q_wave_propagator(SHAPE, nt=21, fused=True, **kw)
+    m = F21.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(60.0))
+    d21 = F21(m)
+    _assert_live(d21)
+    assert d21.shape[0] == 21
+    Fx = q_wave_propagator(SHAPE, nt=21, fused=False, **kw)
+    scale = float(jnp.max(jnp.abs(d21))) or 1.0
+    np.testing.assert_allclose(np.asarray(d21) / scale,
+                               np.asarray(Fx(m)) / scale, atol=5e-5)
+    # dtrec composes with the fused attenuating step
+    Fr = q_wave_propagator(SHAPE, nt=21, dtrec=1.2e-3, fused=True, **kw)
+    assert Fr.rng.shape[0] == 11 and Fr(m).shape[0] == 11

@@ -1126,3 +1126,71 @@ def test_multishot_tti_sharded_parity_and_gate():
     d_tti0 = F1(m.setblock(3, jnp.zeros(grid, jnp.float64)))
     np.testing.assert_allclose(np.asarray(d_tti0), np.asarray(Fv(mv)),
                                rtol=1e-12)
+
+
+# ---------------------------------------------------------------------- #
+# static-Q attenuation on the anisotropic propagators (the DenQ slot)
+# ---------------------------------------------------------------------- #
+
+
+class TestAnisotropicStaticQ:
+    GRID = (20, 20)
+    KW = dict(nt=60, dt=0.0008, dx=10.0, freq=18.0,
+              src_idx=20 * 10 + 10, sponge_width=3, dtype=jnp.float64)
+
+    def _vti_point(self, F):
+        full = lambda v: jnp.full(self.GRID, v, jnp.float64)  # noqa: E731
+        return (F.dom.zeros().setblock(0, full(2000.0))
+                .setblock(1, full(0.1)).setblock(2, full(0.05)))
+
+    def test_infinite_q_is_lossless(self):
+        """q=inf gives og=ig=1 exactly; equality is to FMA-contraction
+        noise (the extra multiplies change XLA's fusion groupings even
+        when they are by 1.0) — same tolerance family as the TTI-at-zero
+        -tilt pins."""
+        from jets_tpu.ops.wave import vti_wave_propagator
+
+        F0 = vti_wave_propagator(self.GRID, **self.KW)
+        Fq = vti_wave_propagator(self.GRID, q=jnp.inf, **self.KW)
+        m = self._vti_point(F0)
+        d0, dq = np.asarray(F0(m)), np.asarray(Fq(m))
+        assert np.max(np.abs(d0)) > 0
+        np.testing.assert_allclose(dq, d0, rtol=1e-10,
+                                   atol=1e-14 * np.max(np.abs(d0)))
+
+    def test_finite_q_attenuates(self):
+        from jets_tpu.ops.wave import tti_wave_propagator, \
+            vti_wave_propagator
+
+        for ctor, nblk in ((vti_wave_propagator, 3),
+                           (tti_wave_propagator, 4)):
+            F0 = ctor(self.GRID, **self.KW)
+            Fq = ctor(self.GRID, q=8.0, **self.KW)
+            full = lambda v: jnp.full(self.GRID, v, jnp.float64)  # noqa
+            m = F0.dom.zeros().setblock(0, full(2000.0)) \
+                .setblock(1, full(0.1)).setblock(2, full(0.05))
+            if nblk == 4:
+                m = m.setblock(3, full(0.2))
+            d0, dq = F0(m), Fq(m)
+            tail = slice(40, None)   # late arrivals carry the decay
+            e0 = float(jnp.linalg.norm(d0[tail]))
+            eq = float(jnp.linalg.norm(dq[tail]))
+            assert e0 > 0 and eq < 0.9 * e0, (ctor.__name__, e0, eq)
+
+    def test_q_jacobian_gate_and_fused_rejection(self):
+        from jets_tpu.ops.wave import tti_wave_propagator, \
+            vti_wave_propagator
+
+        F = vti_wave_propagator(self.GRID, q=30.0, **self.KW)
+        J = F.linearize(self._vti_point(F))
+        mm = J.dom.randn(jax.random.PRNGKey(51))
+        dd = J.rng.randn(jax.random.PRNGKey(52))
+        lhs, rhs = jt.dot_product_test(J, mm, dd)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+        kw3 = dict(nt=4, dt=6e-4, dx=10.0, freq=16.0, src_idx=0,
+                   sponge_width=2, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="static Q"):
+            vti_wave_propagator((16, 8, 128), q=30.0, fused=True, **kw3)
+        with pytest.raises(ValueError, match="static Q"):
+            tti_wave_propagator((16, 8, 128), q=30.0, fused=True, **kw3)
