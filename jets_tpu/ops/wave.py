@@ -624,9 +624,14 @@ def multishot_wave_operator(
     dtrec: Optional[float] = None,
     mesh=None,
     axis: str = "block",
+    shot_map: str = "vmap",
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear multi-shot modeling ``F: c -> (nshots, ntrec, nrcv)``
+    (``shot_map="map"`` runs the local shots as a sequential ``lax.map``
+    instead of one vmapped program — each shot then rides the Pallas fused
+    3-D step, which does not batch under vmap; measured per-shot step
+    1.46× faster in the fused regime)
     (``ntrec = nt`` unless the recording interval ``dtrec`` is given —
     see :func:`_trace_resampler`).
 
@@ -702,7 +707,9 @@ def multishot_wave_operator(
             c, bs["wavelet"], bs["src"], bs["rcv"],
             dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=remat_blocks,
             order=space_order,
-            fused=False,  # vmapped per shot: manual DMAs don't batch
+            # vmapped shots can't run the fused kernel (manual DMAs don't
+            # batch); sequential lax.map shots can — auto-select there
+            fused=None if shot_map == "map" else False,
         )
         return _resample(traces) if _resample is not None else traces
 
@@ -727,6 +734,7 @@ def multishot_wave_operator(
         df=shot_df,
         mesh=mesh,
         axis=axis,
+        shot_map=shot_map,
     )
 
 
@@ -1030,6 +1038,7 @@ def vd_wave_propagator(
     rcv_idx=None,
     sponge_width: int = 12,
     remat_blocks: int = 1,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Two-parameter variable-density forward modeling
@@ -1052,15 +1061,17 @@ def vd_wave_propagator(
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
 
     def _f(m, state):
         c = m.getblock(0).reshape(grid_shape)
         b = m.getblock(1).reshape(grid_shape)
-        return _propagate_vd(
+        traces = _propagate_vd(
             c, b, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=remat_blocks,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dm, m0, state):
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
@@ -1095,6 +1106,7 @@ def vdq_wave_propagator(
     rcv_idx=None,
     sponge_width: int = 12,
     remat_blocks: int = 1,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Full IsoDenQ physics ``F: (c, b, Q) → traces`` — velocity, buoyancy
@@ -1115,7 +1127,8 @@ def vdq_wave_propagator(
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
-    rng = Space((nt, int(rcv_idx.shape[0])), dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec, int(rcv_idx.shape[0])), dtype)
     f0v = float(freq if f0 is None else f0)
 
     def _f(m, state):
@@ -1125,11 +1138,12 @@ def vdq_wave_propagator(
         b = m.getblock(1).reshape(grid_shape)
         q = m.getblock(2).reshape(grid_shape)
         g = (math.pi * f0v * dt) / q
-        return _propagate_vd(
+        traces = _propagate_vd(
             c, b, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], remat_blocks=remat_blocks,
             g=g,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dm, m0, state):
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
@@ -1405,6 +1419,7 @@ def offgrid_wave_propagator(
     space_order: int = 2,
     radius: int = 4,
     remat_blocks: int = 1,
+    dtrec: Optional[float] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward modeling with OFF-GRID acquisition: the source at
@@ -1451,7 +1466,8 @@ def offgrid_wave_propagator(
         for k in range(nd - 1)
     )
     out_shape = tuple(int(W.shape[0]) for W in Wr)
-    rng = Space((nt,) + out_shape, dtype)
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+    rng = Space((ntrec,) + out_shape, dtype)
 
     def _extract(u, st):
         # contract depth: (hi-lo, rest...) · (hi-lo,) -> (rest...)
@@ -1461,13 +1477,14 @@ def offgrid_wave_propagator(
         return line
 
     def _f(c, state):
-        return _propagate(
+        traces = _propagate(
             c, state["wavelet"], jnp.int32(0), None,
             dt=dt, dx=dx, sponge=state["sponge"],
             remat_blocks=remat_blocks,
             order=space_order, src_mask=state["src_mask"],
             extract=lambda u: _extract(u, state),
         )
+        return _resample(traces) if _resample is not None else traces
 
     def _df(dc, m0, state):
         _, tangent = jax.jvp(lambda c: _f(c, state), (m0,), (dc,))
@@ -2116,8 +2133,10 @@ def multishot_vti_wave_operator(
     sponge_width: int = 12,
     space_order: int = 2,
     remat_blocks: int = 1,
+    dtrec: Optional[float] = None,
     mesh=None,
     axis: str = "block",
+    shot_map: str = "vmap",
     dtype=jnp.float32,
 ) -> Operator:
     """Multi-shot VTI modeling ``F: (c, ε, δ) -> (nshots, nt, nrcv)`` —
@@ -2141,14 +2160,17 @@ def multishot_vti_wave_operator(
     wavelet = _ricker(nt, dt, freq, dtype)
     sponge = _make_sponge(grid_shape, sponge_width, dtype=dtype)
 
+    ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
+
     def shot_f(m, bs):
-        return _propagate_vti(
+        traces = _propagate_vti(
             m.getblock(0), m.getblock(1), m.getblock(2),
             bs["wavelet"], bs["src"], bs["rcv"],
             dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
             remat_blocks=remat_blocks,
-            fused=False,  # vmapped per shot: manual DMAs don't batch
+            fused=None if shot_map == "map" else False,
         )
+        return _resample(traces) if _resample is not None else traces
 
     def shot_df(dm, m0, bs):
         _, tangent = jax.jvp(lambda m: shot_f(m, bs), (m0,), (dm,))
@@ -2157,13 +2179,14 @@ def multishot_vti_wave_operator(
     return stacked_block_operator(
         nblocks=nshots,
         dom=dom,
-        rng_block=Space((nt, int(rcv_idx.shape[0])), dtype),
+        rng_block=Space((ntrec, int(rcv_idx.shape[0])), dtype),
         bstate={"src": src_indices},
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,
         df=shot_df,
         mesh=mesh,
         axis=axis,
+        shot_map=shot_map,
     )
 
 
@@ -2182,6 +2205,7 @@ def multishot_tti_wave_operator(
     dtrec: Optional[float] = None,
     mesh=None,
     axis: str = "block",
+    shot_map: str = "vmap",
     dtype=jnp.float32,
 ) -> Operator:
     """Multi-shot TTI modeling — tilted-TI physics through the stacked/
@@ -2219,7 +2243,7 @@ def multishot_tti_wave_operator(
                 m.getblock(4), bs["wavelet"], bs["src"], bs["rcv"],
                 dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
                 remat_blocks=remat_blocks,
-                fused=False,  # vmapped per shot: manual DMAs don't batch
+                fused=None if shot_map == "map" else False,
             )
         else:
             traces = _propagate_tti(
@@ -2244,4 +2268,5 @@ def multishot_tti_wave_operator(
         df=shot_df,
         mesh=mesh,
         axis=axis,
+        shot_map=shot_map,
     )

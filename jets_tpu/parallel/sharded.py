@@ -94,14 +94,25 @@ def _spec_like(tree, spec):
     return jax.tree_util.tree_map(lambda _: spec, tree)
 
 
+def _block_map(state):
+    """The per-block mapping transform: ``jax.vmap`` (default — one batched
+    XLA program over the local shot stack) or ``lax.map`` (sequential scan
+    over shots — the mode that lets each shot ride the Pallas fused wave
+    steps, whose manual DMAs do not batch under vmap)."""
+    if state.get("shot_map", "vmap") == "map":
+        return lambda f: (lambda xs: lax.map(f, xs))
+    return jax.vmap
+
+
 def _stacked_f(m, state):
     child_f, bstate, sstate = state["child_f"], state["bstate"], state["sstate"]
     mesh, axis = state["mesh"], state["axis"]
+    bmap = _block_map(state)
     if mesh is None:
-        return jax.vmap(lambda bs: child_f(m, {**bs, **sstate}))(bstate)
+        return bmap(lambda bs: child_f(m, {**bs, **sstate}))(bstate)
 
     def shard_fn(m_rep, bst_shard, sst):
-        return jax.vmap(lambda bs: child_f(m_rep, {**bs, **sst}))(bst_shard)
+        return bmap(lambda bs: child_f(m_rep, {**bs, **sst}))(bst_shard)
 
     return jax.shard_map(
         shard_fn,
@@ -114,11 +125,12 @@ def _stacked_f(m, state):
 def _stacked_df(dm, m0, state):
     child_df, bstate, sstate = state["child_df"], state["bstate"], state["sstate"]
     mesh, axis = state["mesh"], state["axis"]
+    bmap = _block_map(state)
     if mesh is None:
-        return jax.vmap(lambda bs: child_df(dm, m0, {**bs, **sstate}))(bstate)
+        return bmap(lambda bs: child_df(dm, m0, {**bs, **sstate}))(bstate)
 
     def shard_fn(dm_rep, m0_rep, bst_shard, sst):
-        return jax.vmap(lambda bs: child_df(dm_rep, m0_rep, {**bs, **sst}))(
+        return bmap(lambda bs: child_df(dm_rep, m0_rep, {**bs, **sst}))(
             bst_shard
         )
 
@@ -146,19 +158,30 @@ def _stacked_dft(dd, m0, state):
     bstate, sstate = state["bstate"], state["sstate"]
     mesh, axis = state["mesh"], state["axis"]
 
+    bmap = _block_map(state)
+
     def local_adjoint(dd_loc, m0_loc, bst_loc, sst):
         if stack_dft is not None:
             return stack_dft(dd_loc, m0_loc, {**bst_loc, **sst})
-        contribs = jax.vmap(lambda d_b, bs: child_dft(d_b, m0_loc, {**bs, **sst}))(
-            dd_loc, bst_loc
-        )
+        if state.get("shot_map", "vmap") == "map":
+            contribs = lax.map(
+                lambda db_bs: child_dft(db_bs[0], m0_loc,
+                                        {**db_bs[1], **sst}),
+                (dd_loc, bst_loc))
+        else:
+            contribs = jax.vmap(
+                lambda d_b, bs: child_dft(d_b, m0_loc, {**bs, **sst}))(
+                dd_loc, bst_loc)
         return jax.tree_util.tree_map(lambda c: jnp.sum(c, axis=0), contribs)
 
     if mesh is None:
         return local_adjoint(dd, m0, bstate, sstate)
 
     def shard_fn(dd_shard, m0_rep, bst_shard, sst):
-        return lax.psum(local_adjoint(dd_shard, m0_rep, bst_shard, sst), axis)
+        res = local_adjoint(dd_shard, m0_rep, bst_shard, sst)
+        if getattr(child_dft, "_includes_psum", False):
+            return res  # the inner vjp's pvary transpose already psum'd
+        return lax.psum(res, axis)
 
     return jax.shard_map(
         shard_fn,
@@ -181,6 +204,7 @@ def stacked_block_operator(
     sstate: Optional[Dict[str, Any]] = None,
     mesh: Optional[Mesh] = None,
     axis: str = "block",
+    shot_map: str = "vmap",
 ) -> Operator:
     """Homogeneous tall block-column operator over a stacked block axis.
 
@@ -202,7 +226,12 @@ def stacked_block_operator(
         consumes the whole (local) stack at once.
     mesh / axis: optional device mesh; the stacked axis shards over ``axis``
         and the adjoint accumulates with ``psum`` over it.
+    shot_map: "vmap" (default — one batched program over the local shots) or
+        "map" (``lax.map`` sequential scan over local shots — lets each shot
+        use kernels that do not batch, e.g. the Pallas fused wave steps).
     """
+    if shot_map not in ("vmap", "map"):
+        raise ValueError(f"shot_map must be 'vmap' or 'map', got {shot_map!r}")
     sstate = dict(sstate or {})
     for k, v in bstate.items():
         if k in sstate:
@@ -253,6 +282,7 @@ def stacked_block_operator(
         "sstate": sstate,
         "mesh": mesh,
         "axis": axis,
+        "shot_map": shot_map,
     }
     # With no hand-written adjoint (per-block dft or whole-stack stack_dft),
     # transpose the WHOLE stacked (possibly shard_map-ed) forward at the jet
@@ -261,6 +291,26 @@ def stacked_block_operator(
     # would double-count: the transpose of the implicit pvary is already a
     # psum.)
     have_adjoint = dft is not None or stack_dft is not None
+    if not have_adjoint and shot_map == "map":
+        # lax.map is not transposable in this JAX version (the scan
+        # transpose trips over the invariant replicated-model input), so
+        # the sequential mode gets its adjoint built explicitly: per-shot
+        # vjp of the tangent, run sequentially by _stacked_dft's lax.map
+        # branch, summed locally, and psum'd over the mesh axis — the same
+        # accumulation structure, just stated instead of derived.
+        def _auto_child_dft(d_b, m0, bs, __df=df):
+            prim = m0 if m0 is not None else dom.zeros()
+            _, vjp = jax.vjp(lambda dm: __df(dm, m0, bs), prim)
+            (out,) = vjp(d_b)
+            return out
+
+        # Inside shard_map, this vjp's transpose of the REPLICATED model
+        # input already performs the psum over the block axis (the pvary
+        # transpose) — _stacked_dft must then skip its explicit psum or
+        # the accumulation double-counts (measured: exactly axis-size x).
+        _auto_child_dft._includes_psum = True
+        state["child_dft"] = _auto_child_dft
+        have_adjoint = True
     j = Jet(
         dom=dom,
         rng=rng,

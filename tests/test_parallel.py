@@ -196,3 +196,52 @@ def test_distributed_chebyshev_reduction_free_solve():
                                rtol=1e-6, atol=1e-9)
     res0 = float(N0.dom.norm(N0(r0.x) - b0) / N0.dom.norm(b0))
     assert res0 < 1e-6
+
+
+# ---------------------------------------------------------------------- #
+# sequential shot mapping (lax.map) — the fused-kernel-compatible mode
+# ---------------------------------------------------------------------- #
+
+
+def test_shot_map_sequential_matches_vmap():
+    """shot_map="map" (sequential lax.map over local shots — the mode that
+    lets each shot ride the Pallas fused wave steps on TPU) produces the
+    same operator as the vmapped default: forward, tangent, and the
+    derived psum adjoint, single-device and on the mesh."""
+    import numpy as np
+
+    from jets_tpu.ops.wave import multishot_wave_operator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    grid = (24, 24)
+    srcs = jnp.array([24 * 6 + 6, 24 * 6 + 17, 24 * 17 + 6, 24 * 17 + 17])
+    kw = dict(nt=20, dt=0.0008, dx=10.0, freq=18.0, sponge_width=3,
+              dtype=jnp.float64)
+    c = jnp.full(grid, 2000.0, jnp.float64)
+
+    Fv = multishot_wave_operator(grid, srcs, **kw)
+    Fm = multishot_wave_operator(grid, srcs, shot_map="map", **kw)
+    dv, dm = Fv(c), Fm(c)
+    assert float(jnp.max(jnp.abs(dv))) > 0
+    np.testing.assert_allclose(np.asarray(dm), np.asarray(dv), rtol=1e-13)
+
+    J = Fm.linearize(c)
+    mm = J.dom.randn(jax.random.PRNGKey(61))
+    dd = J.rng.randn(jax.random.PRNGKey(62))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+    if len(jax.devices()) >= 4:
+        mesh = make_block_mesh(4)
+        Fs = multishot_wave_operator(grid, srcs, mesh=mesh, shot_map="map",
+                                     **kw)
+        np.testing.assert_allclose(np.asarray(Fs(c)), np.asarray(dv),
+                                   rtol=1e-13)
+        Js = Fs.linearize(c)
+        lhs, rhs = jt.dot_product_test(
+            Js, Js.dom.randn(jax.random.PRNGKey(63)),
+            Js.rng.randn(jax.random.PRNGKey(64)))
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+    with pytest.raises(ValueError, match="shot_map"):
+        multishot_wave_operator(grid, srcs, shot_map="scan", **kw)
