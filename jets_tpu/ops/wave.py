@@ -1186,9 +1186,11 @@ def vdq_wave_propagator(
 def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
                  order: int = 2, remat_blocks: int = 1, fused=None):
     """Leapfrog with Kosloff constant-Q friction; returns (nt, nrcv).
-    ``fused`` selects the Pallas attenuating step
-    (``pallas_wave.fused_q_step``) — ``None`` = auto on TPU in the 3-D
-    regime; callers that vmap this must pass ``fused=False``."""
+    ``fused=True`` opts into the Pallas attenuating step
+    (``pallas_wave.fused_q_step``); ``None``/``False`` select the XLA step
+    — the kernel is OPT-IN because it measured slower in the real scan
+    (777 vs 525 µs/step, 256³ f32 TPU v5e; see the comment below). Callers
+    that vmap this must pass ``fused=False``."""
     import math
 
     shape = c.shape
@@ -1333,6 +1335,17 @@ def q_wave_propagator(
 
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
+    if fused:
+        # eager feasibility check, mirroring vti/tti_wave_propagator: an
+        # infeasible shape should raise HERE, not at first application
+        # deep inside jit tracing (ADVICE r3)
+        from .pallas_wave import fits_q_pallas
+
+        if not fits_q_pallas(grid_shape, dtype, space_order):
+            raise ValueError(
+                "fused Q step requires a 3-D f32 grid with "
+                "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+            )
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp, gsp])
     if rcv_idx is None:

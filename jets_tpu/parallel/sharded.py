@@ -94,6 +94,51 @@ def _spec_like(tree, spec):
     return jax.tree_util.tree_map(lambda _: spec, tree)
 
 
+_PVARY_PSUM_CACHE: Dict = {}
+
+
+def _pvary_transpose_psums(mesh: Mesh, axis: str) -> bool:
+    """Detect ONCE (per process / axis size) whether the vjp of a function
+    of a replicated input, taken inside ``shard_map``, already performs the
+    mesh-axis psum itself (the transpose of the implicit ``pvary``). This
+    is a JAX-version-dependent replication-tracking behavior that
+    ``_stacked_dft`` must compensate for — probing it beats hard-coding it
+    (a future JAX change would otherwise silently mis-scale sharded
+    ``shot_map='map'`` gradients; ADVICE r3).
+
+    The probe: each shard scales the replicated scalar by ``axis_index+1``
+    and takes the vjp; the psum of the resulting cotangents is
+    ``n(n+1)/2`` when the inner vjp did NOT reduce, and ``n·n(n+1)/2``
+    when it did.
+    """
+    n = int(mesh.shape[axis])
+    if n == 1:
+        return True  # indistinguishable — and the double-count is ×1
+    key = (jax.__version__, n)
+    if key not in _PVARY_PSUM_CACHE:
+        def shard_fn(x):
+            w = (lax.axis_index(axis) + 1).astype(x.dtype)
+            _, vjp = jax.vjp(lambda m: m * w, x)
+            ct = jnp.ones_like(x)
+            try:  # cotangent must carry the varying type of the output
+                ct = lax.pcast(ct, axis, to="varying")
+            except (AttributeError, TypeError):
+                ct = lax.pvary(ct, (axis,))
+            (g,) = vjp(ct)
+            return lax.psum(g, axis)
+
+        try:
+            total = float(jax.jit(jax.shard_map(
+                shard_fn, mesh=mesh, in_specs=P(), out_specs=P()
+            ))(jnp.float32(1.0)))
+            _PVARY_PSUM_CACHE[key] = total > n * (n + 1) / 2 + 0.5
+        except Exception:
+            # probe failed (exotic backend): fall back to the behavior
+            # measured on jax 0.9.0 — the inner vjp DOES psum
+            _PVARY_PSUM_CACHE[key] = True
+    return _PVARY_PSUM_CACHE[key]
+
+
 def _block_map(state):
     """The per-block mapping transform: ``jax.vmap`` (default — one batched
     XLA program over the local shot stack) or ``lax.map`` (sequential scan
@@ -305,10 +350,15 @@ def stacked_block_operator(
             return out
 
         # Inside shard_map, this vjp's transpose of the REPLICATED model
-        # input already performs the psum over the block axis (the pvary
-        # transpose) — _stacked_dft must then skip its explicit psum or
-        # the accumulation double-counts (measured: exactly axis-size x).
-        _auto_child_dft._includes_psum = True
+        # input may already perform the psum over the block axis (the pvary
+        # transpose; it does on jax 0.9.0 — measured: exactly axis-size ×) —
+        # _stacked_dft must then skip its explicit psum or the accumulation
+        # double-counts. Probed once per process rather than hard-coded;
+        # the mesh dot-product gate in tests/test_parallel.py remains the
+        # end-to-end check.
+        _auto_child_dft._includes_psum = (
+            _pvary_transpose_psums(mesh, axis) if mesh is not None else False
+        )
         state["child_dft"] = _auto_child_dft
         have_adjoint = True
     j = Jet(

@@ -160,7 +160,13 @@ def _armijo(fg, m, phi, g, p, alpha0, *, c1, ls_max, proj=None):
         m_try = tr.xpay(m, alpha, p)
         if proj is not None:
             m_try = proj(m_try)
-            dec = c1 * _dot(g, tr.sub(m_try, m))
+            # Bertsekas decrease term c1·<g, P(m+αp)−m>. For p = −g it is
+            # always ≤ 0, but for NLCG/L-BFGS directions it can turn
+            # POSITIVE at active constraints (the projection bends the step
+            # toward +g), which would accept a trial with a higher
+            # objective. Clamp at 0 so acceptance always requires
+            # non-increase (ADVICE r3).
+            dec = jnp.minimum(c1 * _dot(g, tr.sub(m_try, m)), 0.0)
         else:
             dec = c1 * alpha * gTp
         phi_try, g_try = fg(m_try)
