@@ -57,6 +57,7 @@ __all__ = [
     "fused_vti_step", "vti_step_tile", "fits_vti_pallas",
     "fused_tti_step", "tti_step_tile", "fits_tti_pallas",
     "fused_q_step", "q_step_tile", "fits_q_pallas",
+    "fused_adjoint_step", "adjoint_step_tile", "fits_adjoint_pallas",
 ]
 
 
@@ -210,7 +211,6 @@ def fits_wave_pallas(shape, dtype, order: int) -> bool:
     return wave_step_tile(shape, order) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("order", "interpret"))
 def fused_leapfrog_step(u_prev, u, c2dt2, spz, sy, sx, s_t, src_idx, amp, *,
                         order: int = 2, interpret: bool = False):
     """``u_next = ((2u − u_prev) + c²dt²·lap(u))·((sz·sy)·sx) + s_t·mask``
@@ -406,7 +406,6 @@ def fits_vti_pallas(shape, dtype, order: int) -> bool:
     return vti_step_tile(shape, order) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("order", "interpret"))
 def fused_vti_step(p_prev, p, q_prev, q, c2dt2, ah, av, spz, sy, sx,
                    inv_dx2, s_t, src_idx, amp, *, order: int = 2,
                    interpret: bool = False):
@@ -615,9 +614,13 @@ def _tti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, qp_blk,
     pc, pzz, pyy, pxx, pzy, pzx, pyx = derivs(pscr)
     qc, qzz, qyy, qxx, qzy, qzx, qyx = derivs(qscr)
 
-    nz = nz_blk[...]
-    ny = ny_blk[...]
-    nx = nx_blk[...]
+    # coefficient fields may arrive in bf16 (the "reduced-precision
+    # coefficients" mode: ~0.4% relative rounding on smooth direction
+    # cosines / Thomsen factors for 2.5 fewer f32 grid touches per step);
+    # upcast in-register. A no-op for f32 inputs.
+    nz = nz_blk[...].astype(jnp.float32)
+    ny = ny_blk[...].astype(jnp.float32)
+    nx = nx_blk[...].astype(jnp.float32)
     # same expressions (and f32 products) as _propagate_tti3d's precomputed
     # coefficient fields
     czz, cyy, cxx = nz * nz, ny * ny, nx * nx
@@ -629,8 +632,8 @@ def _tti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, qp_blk,
           + czy * qzy + czx * qzx + cyx * qyx)
 
     c2 = c2_blk[...]
-    ah = ah_blk[...]
-    av = av_blk[...]
+    ah = ah_blk[...].astype(jnp.float32)
+    av = av_blk[...].astype(jnp.float32)
     e_p = 2.0 * pc - pp_blk[...] + c2 * (ah * Hp + av * Vq)
     e_q = 2.0 * qc - qp_blk[...] + c2 * (av * Hp + Vq)
 
@@ -647,21 +650,28 @@ def _tti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, qp_blk,
         qo_blk[pl.ds(t, 1)] = e_q[t:t + 1] * plane[None] + s_t * mask_t
 
 
-def tti_step_tile(shape, order: int, itemsize: int = 4):
-    """10 blocked grid arrays double-buffered (20·T) + TWO DMA rings
-    (both fields are z-stencilled here)."""
+def tti_step_tile(shape, order: int, itemsize: int = 4,
+                  coeff_itemsize: int = 4):
+    """5 f32 blocked grid arrays (pp, qp, c2, p_out, q_out) + 5 coefficient
+    fields at their stored width (f32, or bf16 in reduced-precision
+    coefficient mode), all double-buffered, + TWO DMA rings (both fields
+    are z-stencilled here). bf16 coefficients halve their VMEM share, which
+    lifts 256³ from T=1 to T=2 — the T=1 slab pipeline is where the
+    measured 41% roofline gap of round 3 lived."""
     D, H, W = shape
     hw = len(_D2_COEFFS[order][1])
     for t in (8, 4, 2, 1):
         if D % t or t < hw:
             continue
-        vmem = (4 * (t + 2 * hw) + 20 * t) * H * W * itemsize
+        vmem = (4 * (t + 2 * hw) * itemsize + 10 * t * itemsize
+                + 10 * t * coeff_itemsize) * H * W
         if vmem <= 12 * 2**20:
             return t
     return None
 
 
-def fits_tti_pallas(shape, dtype, order: int) -> bool:
+def fits_tti_pallas(shape, dtype, order: int,
+                    coeff_itemsize: int = 4) -> bool:
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     if order not in _D2_COEFFS:
@@ -669,10 +679,11 @@ def fits_tti_pallas(shape, dtype, order: int) -> bool:
     D, H, W = shape
     if W % 128 != 0 or H % 8 != 0:
         return False
-    return tti_step_tile(shape, order) is not None
+    if coeff_itemsize == 2 and H % 16 != 0:
+        return False  # bf16 blocks tile at (16, 128)
+    return tti_step_tile(shape, order, 4, coeff_itemsize) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("order", "interpret"))
 def fused_tti_step(p_prev, p, q_prev, q, c2dt2, ah, av, nz, ny, nx,
                    spz, sy, sx, inv_dx2, inv_dx, s_t, src_idx, amp, *,
                    order: int = 2, interpret: bool = False):
@@ -680,10 +691,13 @@ def fused_tti_step(p_prev, p, q_prev, q, c2dt2, ah, av, nz, ny, nx,
     (12 grid touches — the physics minimum for the (c, ε, δ, θ, φ)
     parameterization); returns ``(p_next, q_next)`` with ``p_prev``/
     ``q_prev`` aliased in place. ``nz/ny/nx`` are the symmetry-axis
-    component fields ``(cosθ, sinθcosφ, sinθsinφ)``. Raw kernel;
-    ``ops/wave.py`` wraps it in ``custom_jvp``."""
+    component fields ``(cosθ, sinθcosφ, sinθsinφ)``. The five coefficient
+    fields ``ah/av/nz/ny/nx`` may be bf16 (upcast in-register — the
+    reduced-precision coefficient mode; halves their VMEM share, lifting
+    256³ to T=2). Raw kernel; ``ops/wave.py`` wraps it in ``custom_jvp``."""
     D, H, W = p.shape
-    T = tti_step_tile(p.shape, order, p.dtype.itemsize)
+    T = tti_step_tile(p.shape, order, p.dtype.itemsize,
+                      jnp.dtype(ah.dtype).itemsize)
     if T is None:
         raise ValueError(f"no VMEM-feasible slab tile for shape {p.shape}")
     hw = len(_D2_COEFFS[order][1])
@@ -719,6 +733,273 @@ def fused_tti_step(p_prev, p, q_prev, q, c2dt2, ah, av, nz, ny, nx,
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, p_prev, q_prev, c2dt2, ah, av, nz, ny, nx,
       p, q)
+
+
+# ---------------------------------------------------------------------------
+# Fused ADJOINT (reverse-sweep) step — the FWI/RTM gradient hot path.
+# ops/wave.py::_adjoint_stored's reverse recurrence is, per reverse step k,
+#
+#     ē_k  = S ⊙ a_{k+1}                                  (S = sponge diag)
+#     gc2 += L(u_k) ⊙ ē_k          (u_k decoded from the stored history)
+#     a_k  = (2ē_k + L(c²dt²·ē_k) − ē_{k+1}) + Pᵀ ḡrec_{k-1}
+#
+# which XLA runs as a heavily de-fused multi-pass body (two separate
+# stencils + sponge products + the gc2 read-modify-write). This kernel does
+# the whole update in ONE slab-pipelined pass: a_{k+1}, c²dt² and the
+# ENCODED history snapshot stream through three DMA rings (the history is
+# decoded in-register, so an int8 history costs a quarter-touch of HBM
+# traffic); ē_{k+1} is recomputed in-register as S ⊙ a_{k+2} (the scan
+# carries (a_{k+1}, a_{k+2}) like the forward leapfrog, so no extra ē field
+# is ever written); gc2 is read, accumulated and written in the same pass,
+# aliased in place; the receiver injection Pᵀḡ is a tiny in-place XLA
+# scatter-add applied to the kernel's output outside (128 scattered
+# elements — not worth 2 full-grid touches of in-kernel masking).
+#
+# Touches per reverse step (int8 history): a_{k+1}(ring) + c²dt²(ring)
+# + u_k(¼ ring) + a_{k+2} + gc2 read + gc2 write + a_k write ≈ 6¼ — vs the
+# physics-blind XLA body. Bit-exactness contract at order 2 (gated by
+# tests/test_pallas_wave.py): the kernel reproduces the exact FP trees of
+# the XLA bstep (laplacian_nd / _mul_sponge / the restructured a_k sum),
+# so fused and XLA stored-adjoints are interchangeable mid-inversion.
+# ---------------------------------------------------------------------------
+
+
+def _adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk, a2_blk, gc2_blk,
+                    a1_hbm, c2_hbm, u_hbm, acore_blk, gc2o_blk,
+                    a1_scr, c2_scr, u_scr, a1_sems, c2_sems, u_sems, *,
+                    T, D, H, W, order):
+    c0, cs = _D2_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw
+
+    def ring(hbm, scr, sems):
+        def center(j, sl):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(j * T, T)],
+                scr.at[pl.ds(sl * P + hw, T)], sems.at[sl, 0])
+
+        def front(j, sl):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(j * T - hw, hw)],
+                scr.at[pl.ds(sl * P, hw)], sems.at[sl, 1])
+
+        def back(j, sl):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(j * T + T, hw)],
+                scr.at[pl.ds(sl * P + hw + T, hw)], sems.at[sl, 2])
+
+        def start(j, sl):
+            center(j, sl).start()
+
+            @pl.when(j > 0)
+            def _():
+                front(j, sl).start()
+
+            @pl.when(j < nsl - 1)
+            def _():
+                back(j, sl).start()
+
+        def wait(j, sl):
+            center(j, sl).wait()
+
+            @pl.when(j > 0)
+            def _():
+                front(j, sl).wait()
+
+            @pl.when(j == 0)
+            def _():
+                scr[pl.ds(sl * P, hw)] = jnp.zeros((hw, H, W), scr.dtype)
+
+            @pl.when(j < nsl - 1)
+            def _():
+                back(j, sl).wait()
+
+            @pl.when(j == nsl - 1)
+            def _():
+                scr[pl.ds(sl * P + hw + T, hw)] = jnp.zeros(
+                    (hw, H, W), scr.dtype)
+
+        return start, wait
+
+    a1_start, a1_wait = ring(a1_hbm, a1_scr, a1_sems)
+    c2_start, c2_wait = ring(c2_hbm, c2_scr, c2_sems)
+    u_start, u_wait = ring(u_hbm, u_scr, u_sems)
+
+    @pl.when(i == 0)
+    def _():
+        a1_start(0, 0)
+        c2_start(0, 0)
+        u_start(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        a1_start(i + 1, nslot)
+        c2_start(i + 1, nslot)
+        u_start(i + 1, nslot)
+
+    a1_wait(i, slot)
+    c2_wait(i, slot)
+    u_wait(i, slot)
+
+    sc = scal_ref[0]
+    base = slot * P
+
+    # Per-slice computation (Mosaic rejects rank-expanding reshapes of
+    # stacked scalars, so no (P,1,1) sponge column is built): ē and
+    # w = c²dt²·ē are recomputed at each z a stencil tap needs them —
+    # (2hw+1)·T recomputes of a 2-multiply expression, VPU-cheap against
+    # the HBM traffic this kernel exists to save. Out-of-grid halo z's
+    # clamp the spz read; their a1/c2 slices are zero-filled so the
+    # clamped value is moot. Trees match _mul_sponge/(laplacian_nd |
+    # _d2_axis) exactly.
+    def plane_at(s):
+        """Sponge plane (1,H,W) at window slice s — (spz[z]·sy)·sx."""
+        z = i * T + (s - hw)
+        zc = jnp.clip(z, 0, D - 1)
+        return (spz_ref[zc] * sy_blk[...])[None] * sx_blk[...][None]
+
+    def ebar_at(s):
+        return a1_scr[pl.ds(base + s, 1)] * plane_at(s)
+
+    def w_at(s):
+        return c2_scr[pl.ds(base + s, 1)] * ebar_at(s)
+
+    def u_at(s):
+        # decode: q.astype(f32)·sc — sc = s/127 for int8, exactly 1.0 for
+        # f32/bf16 (×1.0 is IEEE-exact: the f32 path matches the XLA dec)
+        return u_scr[pl.ds(base + s, 1)].astype(jnp.float32) * sc
+
+    def lap_slice(at, t):
+        """EXACT laplacian_nd tree for output slice t: (c0·3)·c, then per
+        axis (z,y,x) per tap s=1..hw, '+ lo + hi' when the coefficient is
+        1.0, '+ coef·(lo+hi)' otherwise."""
+        c = at(hw + t)
+        lap = (c0 * 3.0) * c
+        for s, coef in enumerate(cs, start=1):
+            zlo = at(hw + t - s)
+            zhi = at(hw + t + s)
+            if coef == 1.0:
+                lap = lap + zlo + zhi
+            else:
+                lap = lap + coef * (zlo + zhi)
+        for s, coef in enumerate(cs, start=1):
+            ylo = jnp.pad(c[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
+            yhi = jnp.pad(c[:, s:, :], ((0, 0), (0, s), (0, 0)))
+            if coef == 1.0:
+                lap = lap + ylo + yhi
+            else:
+                lap = lap + coef * (ylo + yhi)
+        for s, coef in enumerate(cs, start=1):
+            xlo = jnp.pad(c[:, :, :-s], ((0, 0), (0, 0), (s, 0)))
+            xhi = jnp.pad(c[:, :, s:], ((0, 0), (0, 0), (0, s)))
+            if coef == 1.0:
+                lap = lap + xlo + xhi
+            else:
+                lap = lap + coef * (xlo + xhi)
+        return lap
+
+    for t in range(T):
+        lap_w = lap_slice(w_at, t)
+        lap_u = lap_slice(u_at, t)
+        ebar_c = ebar_at(hw + t)
+        ebarn = a2_blk[pl.ds(t, 1)] * plane_at(hw + t)   # ē_{k+1}
+        gc2o_blk[pl.ds(t, 1)] = gc2_blk[pl.ds(t, 1)] + lap_u * ebar_c
+        acore_blk[pl.ds(t, 1)] = (2.0 * ebar_c + lap_w) - ebarn
+
+
+def adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
+    """Largest z tile for the adjoint kernel: TWO f32 DMA rings (a_{k+1},
+    c²dt²) + the history ring at its stored width + 4 blocked f32 arrays
+    double-buffered, within ~10 MB (headroom below the 12 MB forward-kernel
+    budget: this kernel's P-window temporaries — ē, c²ē, decoded u — are
+    larger than the forward kernels')."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        ring = 2 * (t + 2 * hw)
+        vmem = (ring * 2 * 4 + ring * store_itemsize + 8 * t * 4) * H * W
+        if vmem <= 10 * 2**20:
+            return t
+    return None
+
+
+_STORE_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}
+
+
+def fits_adjoint_pallas(shape, dtype, order: int, store: str = "f32") -> bool:
+    """True when the fused adjoint sweep applies: 3-D f32 grid,
+    lane/sublane-aligned minor dims (the history dtype tightens the
+    sublane requirement: bf16 tiles at (16,128), int8 at (32,128)), and a
+    VMEM-feasible slab tile covering the stencil halo."""
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS or store not in _STORE_DTYPES:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    sub = {"f32": 8, "bf16": 16, "int8": 32}[store]
+    if H % sub != 0:
+        return False
+    itemsize = jnp.dtype(_STORE_DTYPES[store]).itemsize
+    return adjoint_step_tile(shape, order, itemsize) is not None
+
+
+def fused_adjoint_step(a1, a2, gc2, c2dt2, u_enc, sc, spz, sy, sx, *,
+                       order: int = 2, interpret: bool = False):
+    """One reverse-sweep step of the stored-wavefield adjoint in a single
+    slab-pipelined pass. Returns ``(a_core, gc2_new)`` where
+
+        ē      = S ⊙ a1,   S = (spz·sy)·sx per slice
+        a_core = (2ē + L(c²dt²·ē)) − S ⊙ a2
+        gc2ₙ   = gc2 + L(dec(u_enc)) ⊙ ē,   dec(q) = q.astype(f32)·sc
+
+    with ``a2`` aliased in place to ``a_core`` and ``gc2`` to ``gc2_new``.
+    The receiver injection Pᵀḡ is NOT included — add it to ``a_core``
+    outside (``ops/wave.py::_adjoint_stored`` does, as an in-place
+    scatter). Raw kernel — no autodiff rules (it IS the adjoint)."""
+    D, H, W = a1.shape
+    T = adjoint_step_tile(a1.shape, order, u_enc.dtype.itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {a1.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.asarray(sc, jnp.float32).reshape(1)
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_adjoint_kernel, T=T, D=D, H=H, W=W, order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[vspec, vspec],
+        out_shape=[jax.ShapeDtypeStruct((D, H, W), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), jnp.float32),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), jnp.float32),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), u_enc.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        input_output_aliases={} if interpret else {4: 0, 5: 1},
+        interpret=interpret,
+    )(scal, spz, sy, sx, a2, gc2, a1, c2dt2, u_enc)
 
 
 # ---------------------------------------------------------------------------
@@ -867,7 +1148,6 @@ def fits_q_pallas(shape, dtype, order: int) -> bool:
     return q_step_tile(shape, order) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("order", "interpret"))
 def fused_q_step(u_prev, u, c2dt2, om1g, inv1pg, spz, sy, sx, s_t, src_idx,
                  amp, *, order: int = 2, interpret: bool = False):
     """One Kosloff constant-Q leapfrog step in a single slab-pipelined pass

@@ -230,13 +230,32 @@ def _scan_remat(step, carry, xs, remat_blocks: int):
         return lax.scan(jax.checkpoint(step, prevent_cse=False), carry, xs)
     blk = nt // remat_blocks
     xs_b = xs.reshape((remat_blocks, blk) + xs.shape[1:])
-    inner = jax.checkpoint(step, prevent_cse=False)
+
+    # Closure-convert the step for the blocked (checkpoint-of-scan) path:
+    # traced values captured in its closure (e.g. c²dt² derived from the
+    # traced model) must cross the checkpoint boundary as explicit
+    # loop-invariant state — a closed-over tracer leaks into the remat
+    # jaxpr's constants, and the TPU lowering of a pallas_call-bearing
+    # body then dies with "No constant handler for DynamicJaxprTracer"
+    # (jax 0.9.0; the remat_blocks=1 path and pure-XLA bodies are
+    # unaffected). The consts ride the scan carry unchanged — XLA hoists
+    # invariant while-loop state, so this costs nothing per step.
+    x0 = jax.tree_util.tree_map(lambda a: a[0], xs)
+    step_cc, consts = jax.closure_convert(step, carry, x0)
+    consts = tuple(consts)
+
+    def inner_fn(cc, x):
+        c, ks = cc
+        nc, y = step_cc(c, x, *ks)
+        return (nc, ks), y
+
+    inner = jax.checkpoint(inner_fn, prevent_cse=False)
 
     @jax.checkpoint
-    def outer(carry, xb):
-        return lax.scan(inner, carry, xb)
+    def outer(cc, xb):
+        return lax.scan(inner, cc, xb)
 
-    carry, traces = lax.scan(outer, carry, xs_b)
+    (carry, _), traces = lax.scan(outer, (carry, consts), xs_b)
     return carry, traces.reshape((nt,) + traces.shape[2:])
 
 
@@ -308,28 +327,42 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         # with the XLA leapfrog expression as the tangent (linear in the
         # tangents, so JAX also transposes it for the adjoint/FWI path —
         # only the nonlinear forward rides the fused kernel).
+        #
+        # EVERY array the kernel or the jvp rule needs is an EXPLICIT
+        # argument — no array closures. A custom_jvp whose RULE closes
+        # over values created inside the caller's trace (spz/amp are
+        # state-derived, i.e. tracers whenever the operator itself is
+        # traced) leaks those tracers as jaxpr constants through the
+        # remat_blocks>1 checkpoint-of-scan, and the TPU lowering dies
+        # with "No constant handler for DynamicJaxprTracer" (jax 0.9.0;
+        # _scan_remat's closure_convert rewrites only the primal, not
+        # the rule). Config-constant tangents (sponge, source) are
+        # ignored by the rule.
         @jax.custom_jvp
-        def step_core(u_prev, u, c2, s_t):
+        def step_core(u_prev, u, c2, s_t, spz_, spy_, spx_, sidx, amp_):
             return fused_leapfrog_step(
-                u_prev, u, c2, spz, spy, spx, s_t, src_idx, amp,
+                u_prev, u, c2, spz_, spy_, spx_, s_t, sidx, amp_,
                 order=order, interpret=interp,
             )
 
         @step_core.defjvp
         def _step_jvp(primals, tangents):
-            up, u, c2, st = primals
-            dup, du, dc2, dst = tangents
-            out = step_core(up, u, c2, st)
-            mask = _iota_src_mask(shape, src_idx, amp)
+            up, u, c2, st, spz_, spy_, spx_, sidx, amp_ = primals
+            dup, du, dc2, dst = tangents[:4]
+            out = step_core(*primals)
+            spf = (spz_.reshape(-1, 1, 1), spy_.reshape(1, -1, 1),
+                   spx_.reshape(1, 1, -1))
+            mask = _iota_src_mask(shape, sidx, amp_)
             dout = _mul_sponge(
                 2.0 * du - dup + dc2 * _laplacian(u, order=order)
-                + c2 * _laplacian(du, order=order), sponge
+                + c2 * _laplacian(du, order=order), spf
             ) + dst * mask
             return out, dout
 
         def step(carry, s_t):
             u_prev, u = carry
-            u_next = step_core(u_prev, u, c2dt2, s_t)
+            u_next = step_core(u_prev, u, c2dt2, s_t, spz, spy, spx,
+                               src_idx, amp)
             rec = extract(u_next)
             return (u, u_next), rec
     else:
@@ -380,7 +413,7 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
 
 
 def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
-                    order: int = 2, store: str = "int8"):
+                    order: int = 2, store: str = "int8", fused=None):
     """Adjoint-state gradient ``(∂F/∂c)ᵀ dd`` with a STORED forward-
     wavefield history — the TPU-native equivalent of JetPackWaveFD's
     production imaging path, where the forward wavefield is serialized
@@ -406,7 +439,17 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     complementary point to ``remat_blocks`` (O(√nt·grid) with a 2nd
     forward sweep) on the reference family's storage/recompute trade
     (``utils/compression.py`` holds the host-side codec + SnapshotStore
-    half of that slot)."""
+    half of that slot).
+
+    ``fused`` selects the Pallas fast path for BOTH sweeps: the forward
+    sweep rides :func:`pallas_wave.fused_leapfrog_step` and the reverse
+    sweep :func:`pallas_wave.fused_adjoint_step` (the whole recurrence —
+    both stencils, sponge products and the gc2 accumulation — in one
+    slab-pipelined HBM pass per step, with the encoded history streamed
+    at its stored width so an int8 history costs a quarter-touch).
+    ``None`` = auto on TPU in the 3-D regime. At order 2 with
+    ``store="f32"`` the fused and XLA paths are bit-identical (gated by
+    ``tests/test_pallas_wave.py``)."""
     shape = c.shape
     dtype = c.dtype
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
@@ -444,15 +487,7 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         )
 
     u0 = jnp.zeros(shape, dtype)
-
-    def fstep(carry, s_t):
-        u_prev, u = carry
-        u_next = _mul_sponge(
-            2.0 * u - u_prev + c2dt2 * _laplacian(u, order=order), sponge
-        ) + s_t * mask()
-        return (u, u_next), enc(u)   # history entry k holds u_k
-
-    (_, _), (hist, scales) = lax.scan(fstep, (u0, u0), src_wavelet)
+    nt = int(src_wavelet.shape[0])
 
     def inject(row):
         return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
@@ -463,14 +498,114 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     dd_shift = jnp.concatenate(
         [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
 
+    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_adjoint_pallas, fits_wave_pallas
+
+        can_fuse = (fits_adjoint_pallas(shape, dtype, order, store)
+                    and fits_wave_pallas(shape, dtype, order))
+    if fused is None:
+        fused = can_fuse and jax.default_backend() != "cpu"
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused stored-adjoint requires a 3-D f32 grid with "
+            "lane/sublane-aligned minor dims (the history dtype tightens "
+            "the sublane requirement: H%16==0 for bf16, H%32==0 for int8)"
+        )
+
+    if fused:
+        from .pallas_wave import fused_adjoint_step, fused_leapfrog_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]
+        spy = sponge[1][0]
+        spx = sponge[2][0]
+
+        # ---- forward sweep on the fused leapfrog kernel, paired two
+        # steps per iteration so the kernel's u_prev->u_next aliasing
+        # donates with no carry-rotation copies (the _propagate finding)
+        def fwd_one(carry, s_t):
+            u_prev, u = carry
+            u_next = fused_leapfrog_step(
+                u_prev, u, c2dt2, spz, spy, spx, s_t, src_idx, amp,
+                order=order, interpret=interp)
+            return (u, u_next), enc(u)
+
+        def fwd_pair(carry, s_pair):
+            c1, h1 = fwd_one(carry, s_pair[0])
+            c2_, h2 = fwd_one(c1, s_pair[1])
+            return c2_, jax.tree_util.tree_map(
+                lambda a, b: jnp.stack((a, b)), h1, h2)
+
+        padf = nt % 2
+        wav = src_wavelet
+        if padf:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
+        (_, _), (hist, scales) = lax.scan(fwd_pair, (u0, u0), xsf)
+        hist = hist.reshape((nt + padf,) + hist.shape[2:])[:nt]
+        scales = scales.reshape((nt + padf,) + scales.shape[2:])[:nt]
+
+        # ---- reverse sweep on the fused adjoint kernel. The scan carries
+        # (a_{k+1}, a_{k+2}, gc2) and is ALSO paired: both adjoint-field
+        # slots are written fresh each iteration, so the kernel's
+        # a_{k+2}->a_k / gc2->gc2 aliasing donates cleanly. Front-pad to
+        # an even step count with a dummy step k=-1 (zero history, zero
+        # residual: gc2 untouched, its a_{-1} output discarded).
+        def adj_one(a1, a2, gc2, q, s, g):
+            sc = (s / 127.0) if store == "int8" \
+                else jnp.asarray(1.0, dtype)
+            core, gc2 = fused_adjoint_step(
+                a1, a2, gc2, c2dt2, q, sc, spz, spy, spx,
+                order=order, interpret=interp)
+            a_k = core.reshape(-1).at[rcv_idx].add(g).reshape(shape)
+            return a_k, gc2
+
+        def bpair(carry, xs):
+            a1, a2, gc2 = carry
+            q2, s2, g2 = xs
+            a_hi, gc2 = adj_one(a1, a2, gc2, q2[1], s2[1], g2[1])
+            a_lo, gc2 = adj_one(a_hi, a1, gc2, q2[0], s2[0], g2[0])
+            return (a_lo, a_hi, gc2), None
+
+        padr = nt % 2
+        hist_r, scales_r, grec_r = hist, scales, dd_shift
+        if padr:
+            hist_r = jnp.concatenate(
+                [jnp.zeros_like(hist[:1]), hist])
+            scales_r = jnp.concatenate(
+                [jnp.ones_like(scales[:1]), scales])
+            grec_r = jnp.concatenate(
+                [jnp.zeros_like(dd_shift[:1]), dd_shift])
+        nt2 = nt + padr
+        xsr = tuple(
+            a.reshape((nt2 // 2, 2) + a.shape[1:])
+            for a in (hist_r, scales_r, grec_r))
+        carry0 = (inject(dd[-1]), jnp.zeros(shape, dtype),
+                  jnp.zeros(shape, dtype))
+        (_, _, gc2), _ = lax.scan(bpair, carry0, xsr, reverse=True)
+        return gc2 * (2.0 * c) * jnp.asarray((dt * dt) / (dx * dx), dtype)
+
+    def fstep(carry, s_t):
+        u_prev, u = carry
+        u_next = _mul_sponge(
+            2.0 * u - u_prev + c2dt2 * _laplacian(u, order=order), sponge
+        ) + s_t * mask()
+        return (u, u_next), enc(u)   # history entry k holds u_k
+
+    (_, _), (hist, scales) = lax.scan(fstep, (u0, u0), src_wavelet)
+
     def bstep(carry, xs):
         a_nxt, ebar_nxt, gc2 = carry
         q, s, grec_prev = xs
         u_k = dec(q, s)
         ebar = _mul_sponge(a_nxt, sponge)
         gc2 = gc2 + _laplacian(u_k, order=order) * ebar
-        a_k = (inject(grec_prev) + 2.0 * ebar
-               + _laplacian(c2dt2 * ebar, order=order) - ebar_nxt)
+        # sum order pinned to the fused kernel's tree: the stencil/sponge
+        # core first, the (sparse) receiver injection added LAST
+        a_k = (2.0 * ebar + _laplacian(c2dt2 * ebar, order=order)
+               - ebar_nxt) + inject(grec_prev)
         return (a_k, ebar, gc2), None
 
     carry0 = (inject(dd[-1]), jnp.zeros(shape, dtype),
@@ -523,12 +658,19 @@ def wave_propagator(
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
     if fused:
-        from .pallas_wave import fits_wave_pallas
+        from .pallas_wave import fits_adjoint_pallas, fits_wave_pallas
 
         if not fits_wave_pallas(grid_shape, dtype, space_order):
             raise ValueError(
                 "fused wave step requires a 3-D f32 grid with "
                 "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+            )
+        if store_adjoint is not None and not fits_adjoint_pallas(
+                grid_shape, dtype, space_order, store_adjoint):
+            raise ValueError(
+                "fused stored-adjoint infeasible for this config (history "
+                "dtype tightens the sublane requirement: H%16==0 for "
+                "bf16, H%32==0 for int8)"
             )
     sp = Space(grid_shape, dtype)
     if rcv_idx is None:
@@ -574,7 +716,7 @@ def wave_propagator(
             return _adjoint_stored(
                 m0, dd, state["wavelet"], state["src_idx"],
                 state["rcv_idx"], dt=dt, dx=dx, sponge=state["sponge"],
-                order=space_order, store=store_adjoint,
+                order=space_order, store=store_adjoint, fused=fused,
             )
 
     j = Jet(
@@ -1240,30 +1382,38 @@ def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
         spy = sponge[1][0]
         spx = sponge[2][0]
 
+        # every kernel/rule array is an explicit argument — see the iso
+        # fused branch for why (rule closures over traced state leak
+        # through the remat checkpoint on TPU)
         @jax.custom_jvp
-        def step_core(u_prev, u, c2, og, ig, s_t):
+        def step_core(u_prev, u, c2, og, ig, s_t, spz_, spy_, spx_,
+                      sidx, amp_):
             return fused_q_step(
-                u_prev, u, c2, og, ig, spz, spy, spx, s_t, src_idx, amp,
+                u_prev, u, c2, og, ig, spz_, spy_, spx_, s_t, sidx, amp_,
                 order=order, interpret=interp,
             )
 
         @step_core.defjvp
         def _step_jvp(primals, tangents):
             out = step_core(*primals)
-            mask = _iota_src_mask(shape, src_idx, amp)
+            spz_, spy_, spx_, sidx, amp_ = primals[6:]
+            spf = (spz_.reshape(-1, 1, 1), spy_.reshape(1, -1, 1),
+                   spx_.reshape(1, 1, -1))
+            mask = _iota_src_mask(shape, sidx, amp_)
 
             def xla_step(up, u, c2, og, ig, s_t):
                 lap = _laplacian(u, order=order)
                 return _mul_sponge(
-                    (2.0 * u - og * up + c2 * lap) * ig, sponge
+                    (2.0 * u - og * up + c2 * lap) * ig, spf
                 ) + s_t * mask
 
-            _, dout = jax.jvp(xla_step, primals, tangents)
+            _, dout = jax.jvp(xla_step, primals[:6], tangents[:6])
             return out, dout
 
         def one_step(carry, s_t):
             u_prev, u = carry
-            u_next = step_core(u_prev, u, c2dt2, om1g, inv1pg, s_t)
+            u_next = step_core(u_prev, u, c2dt2, om1g, inv1pg, s_t,
+                               spz, spy, spx, src_idx, amp)
             rec = u_next.reshape(-1)[rcv_idx]
             return (u, u_next), rec
 
@@ -1605,41 +1755,49 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
         spy = sponge[1][0]
         spx = sponge[2][0]
 
+        # every kernel/rule array is an explicit argument — see the iso
+        # fused branch for why (rule closures over traced state leak
+        # through the remat checkpoint on TPU)
         @jax.custom_jvp
-        def step_core(p_prev, p, q_prev, q, c2, ah_, av_, s_t):
+        def step_core(p_prev, p, q_prev, q, c2, ah_, av_, s_t,
+                      spz_, spy_, spx_, idx2, sidx, amp_):
             return fused_vti_step(
-                p_prev, p, q_prev, q, c2, ah_, av_, spz, spy, spx,
-                inv_dx2, s_t, src_idx, amp, order=order, interpret=interp,
+                p_prev, p, q_prev, q, c2, ah_, av_, spz_, spy_, spx_,
+                idx2, s_t, sidx, amp_, order=order, interpret=interp,
             )
 
         @step_core.defjvp
         def _step_jvp(primals, tangents):
-            pp, p, qp, q, c2, ah_, av_, st = primals
-            dpp, dp, dqp, dq, dc2, dah, dav, dst = tangents
-            out = step_core(pp, p, qp, q, c2, ah_, av_, st)
-            mask = _iota_src_mask(shape, src_idx, amp)
-            lh = _d2_axis(p, 1, inv_dx2, order)
+            (pp, p, qp, q, c2, ah_, av_, st,
+             spz_, spy_, spx_, idx2, sidx, amp_) = primals
+            dpp, dp, dqp, dq, dc2, dah, dav, dst = tangents[:8]
+            out = step_core(*primals)
+            spf = (spz_.reshape(-1, 1, 1), spy_.reshape(1, -1, 1),
+                   spx_.reshape(1, 1, -1))
+            mask = _iota_src_mask(shape, sidx, amp_)
+            lh = _d2_axis(p, 1, idx2, order)
             for ax in range(2, nd):
-                lh = lh + _d2_axis(p, ax, inv_dx2, order)
-            dzz = _d2_axis(q, 0, inv_dx2, order)
-            dlh = _d2_axis(dp, 1, inv_dx2, order)
+                lh = lh + _d2_axis(p, ax, idx2, order)
+            dzz = _d2_axis(q, 0, idx2, order)
+            dlh = _d2_axis(dp, 1, idx2, order)
             for ax in range(2, nd):
-                dlh = dlh + _d2_axis(dp, ax, inv_dx2, order)
-            ddzz = _d2_axis(dq, 0, inv_dx2, order)
+                dlh = dlh + _d2_axis(dp, ax, idx2, order)
+            ddzz = _d2_axis(dq, 0, idx2, order)
             dpn = _mul_sponge(
                 2.0 * dp - dpp + dc2 * (ah_ * lh + av_ * dzz)
                 + c2 * (dah * lh + ah_ * dlh + dav * dzz + av_ * ddzz),
-                sponge) + dst * mask
+                spf) + dst * mask
             dqn = _mul_sponge(
                 2.0 * dq - dqp + dc2 * (av_ * lh + dzz)
                 + c2 * (dav * lh + av_ * dlh + ddzz),
-                sponge) + dst * mask
+                spf) + dst * mask
             return out, (dpn, dqn)
 
         def one_step(carry, s_t):
             p_prev, p, q_prev, q = carry
             p_next, q_next = step_core(p_prev, p, q_prev, q, c2dt2, ah, av,
-                                       s_t)
+                                       s_t, spz, spy, spx, inv_dx2,
+                                       src_idx, amp)
             rec = p_next.reshape(-1)[rcv_idx]
             return (p, p_next, q, q_next), rec
 
@@ -1847,7 +2005,8 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
 
 def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
                      rcv_idx, *, dt, dx, sponge, order: int = 2,
-                     remat_blocks: int = 1, fused=None, og=None, ig=None):
+                     remat_blocks: int = 1, fused=None, og=None, ig=None,
+                     coeff_dtype=None):
     """3-D tilted-TI pseudo-acoustics with azimuth. The symmetry axis is
     the unit vector ``n = (cosθ, sinθ·cosφ, sinθ·sinφ)`` in (z, y, x); the
     rotated vertical operator is the directional second derivative
@@ -1859,7 +2018,15 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
     ``θ = 0`` every multiplier is exactly 0 or 1 and the scheme reduces
     to the 3-D VTI propagator to FMA-grouping noise (pinned at rtol 1e-12
     by the suite, like the 2-D tilt pin) — JetPackWaveFD's 3-D
-    ``Prop3DAcoTTIDenQ`` parameterization."""
+    ``Prop3DAcoTTIDenQ`` parameterization.
+
+    ``coeff_dtype=jnp.bfloat16`` rounds the five smooth coefficient fields
+    (1+2ε, √(1+2δ), and the symmetry-axis components) to bf16 — BOTH paths
+    then use the same rounded-and-upcast values (so fused-vs-XLA agreement
+    is unchanged), and the fused kernel streams them at half width: 2.5
+    fewer f32 grid touches per step AND a T=1→2 slab tile at 256³. ~0.4%
+    relative rounding on the anisotropy coefficients (θ=0 stays EXACT:
+    bf16 represents 0 and 1 exactly, so the VTI reduction pin holds)."""
     shape = c.shape
     c2dt2 = (c * c) * (dt * dt)
     inv_dx2 = jnp.asarray(1.0 / (dx * dx), c.dtype)
@@ -1870,6 +2037,31 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
     st = jnp.sin(theta)
     ny = st * jnp.cos(phi)
     nx = st * jnp.sin(phi)
+    coeff16 = (coeff_dtype is not None
+               and jnp.dtype(coeff_dtype) == jnp.bfloat16)
+    kc = None
+    if coeff16:
+        # Straight-through rounding: the PRIMAL uses the bf16-rounded
+        # coefficients (what the kernel streams), but tangents flow in
+        # full f32 — differentiating through the rounding cast itself
+        # would truncate tangents/cotangents to bf16 and break the
+        # dot-product gate at ~1e-3. The rounding is lax.reduce_precision
+        # (bf16 = 8 exponent / 7 mantissa bits), NOT an astype round-trip:
+        # XLA under --xla_allow_excess_precision (set on the TPU backend)
+        # elides f32→bf16→f32 convert pairs, which would silently leave
+        # the XLA reference path UNROUNDED while the kernel streams real
+        # bf16 (measured: 6.5e-3 fused-vs-XLA divergence on TPU until
+        # this was switched).
+        def _r16(x):
+            return lax.reduce_precision(lax.stop_gradient(x), 8, 7)
+
+        kc = tuple(_r16(x).astype(jnp.bfloat16)   # exact: value is already
+                   for x in (ah, av, nz, ny, nx))  # bf16-representable
+
+        def _st(x):
+            return x + lax.stop_gradient(_r16(x) - x)
+
+        ah, av, nz, ny, nx = (_st(x) for x in (ah, av, nz, ny, nx))
     czz, cyy, cxx = nz * nz, ny * ny, nx * nx
     czy, czx, cyx = 2.0 * nz * ny, 2.0 * nz * nx, 2.0 * ny * nx
 
@@ -1889,7 +2081,8 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
     if can_fuse:
         from .pallas_wave import fits_tti_pallas
 
-        can_fuse = fits_tti_pallas(shape, c.dtype, order)
+        can_fuse = fits_tti_pallas(shape, c.dtype, order,
+                                   2 if coeff16 else 4)
     if fused is None:
         fused = can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
@@ -1922,19 +2115,35 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
         spy = sponge[1][0]
         spx = sponge[2][0]
 
+        # every kernel/rule array is an explicit argument — see the iso
+        # fused branch for why (rule closures over traced state leak
+        # through the remat checkpoint on TPU). In bf16-coefficient mode
+        # the kernel streams the half-width fields (ka..kx args); the f32
+        # args ah_..nx_ are their exact upcasts, so the jvp rule
+        # differentiates the same values.
         @jax.custom_jvp
         def step_core(p_prev, p, q_prev, q, c2, ah_, av_, nz_, ny_, nx_,
-                      s_t):
+                      s_t, ka, kb, kz, ky, kx, spz_, spy_, spx_,
+                      idx2, idx1, sidx, amp_):
             return fused_tti_step(
-                p_prev, p, q_prev, q, c2, ah_, av_, nz_, ny_, nx_,
-                spz, spy, spx, inv_dx2, inv_dx, s_t, src_idx, amp,
+                p_prev, p, q_prev, q, c2, ka, kb, kz, ky, kx,
+                spz_, spy_, spx_, idx2, idx1, s_t, sidx, amp_,
                 order=order, interpret=interp,
             )
 
         @step_core.defjvp
         def _step_jvp(primals, tangents):
             out = step_core(*primals)
-            mask = _iota_src_mask(shape, src_idx, amp)
+            (_pp, _p, _qp, _q, _c2, _ah, _av, _nz, _ny, _nx, _st,
+             _ka, _kb, _kz, _ky, _kx, spz_, spy_, spx_,
+             idx2, idx1, sidx, amp_) = primals
+            spf = (spz_.reshape(-1, 1, 1), spy_.reshape(1, -1, 1),
+                   spx_.reshape(1, 1, -1))
+            mask = _iota_src_mask(shape, sidx, amp_)
+
+            def _dij_a(u, i, j):
+                return _d1_axis(_d1_axis(u, i, idx1, order), j, idx1,
+                                order)
 
             def xla_step(pp, p, qp, q, c2, ah_, av_, nz_, ny_, nx_, s_t):
                 # the EXACT unfused tree with the coefficient fields as
@@ -1945,12 +2154,12 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
                 cyx_ = 2.0 * ny_ * nx_
 
                 def HV(u):
-                    uzz = _d2_axis(u, 0, inv_dx2, order)
-                    uyy = _d2_axis(u, 1, inv_dx2, order)
-                    uxx = _d2_axis(u, 2, inv_dx2, order)
-                    uzy = _dij(u, 0, 1)
-                    uzx = _dij(u, 0, 2)
-                    uyx = _dij(u, 1, 2)
+                    uzz = _d2_axis(u, 0, idx2, order)
+                    uyy = _d2_axis(u, 1, idx2, order)
+                    uxx = _d2_axis(u, 2, idx2, order)
+                    uzy = _dij_a(u, 0, 1)
+                    uzx = _dij_a(u, 0, 2)
+                    uyx = _dij_a(u, 1, 2)
                     V = (czz_ * uzz + cyy_ * uyy + cxx_ * uxx
                          + czy_ * uzy + czx_ * uzx + cyx_ * uyx)
                     Hh = ((1.0 - czz_) * uzz + (1.0 - cyy_) * uyy
@@ -1961,20 +2170,24 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
                 Hp, _ = HV(p)
                 _, Vq = HV(q)
                 pn = _mul_sponge(2.0 * p - pp
-                                 + c2 * (ah_ * Hp + av_ * Vq), sponge) \
+                                 + c2 * (ah_ * Hp + av_ * Vq), spf) \
                     + s_t * mask
                 qn = _mul_sponge(2.0 * q - qp
-                                 + c2 * (av_ * Hp + Vq), sponge) \
+                                 + c2 * (av_ * Hp + Vq), spf) \
                     + s_t * mask
                 return pn, qn
 
-            _, dout = jax.jvp(xla_step, primals, tangents)
+            _, dout = jax.jvp(xla_step, primals[:11], tangents[:11])
             return out, dout
+
+        kc5 = kc if kc is not None else (ah, av, nz, ny, nx)
 
         def one_step(carry, s_t):
             p_prev, p, q_prev, q = carry
             p_next, q_next = step_core(p_prev, p, q_prev, q, c2dt2, ah, av,
-                                       nz, ny, nx, s_t)
+                                       nz, ny, nx, s_t, *kc5,
+                                       spz, spy, spx, inv_dx2, inv_dx,
+                                       src_idx, amp)
             rec = p_next.reshape(-1)[rcv_idx]
             return (p, p_next, q, q_next), rec
 
@@ -2039,6 +2252,7 @@ def tti_wave_propagator(
     dtrec: Optional[float] = None,
     q=None,
     f0: Optional[float] = None,
+    coeff_dtype=None,
     dtype=jnp.float32,
 ) -> Operator:
     """TTI anisotropic forward modeling — JetPackWaveFD's tilted-TI physics.
@@ -2057,7 +2271,13 @@ def tti_wave_propagator(
     (scalar or grid-shaped; reference frequency ``f0`` defaults to the
     source ``freq``) — completing the parameter set of the reference
     family's ``Prop*AcoTTIDenQ`` production propagators. Static Q rides
-    the XLA step."""
+    the XLA step.
+
+    ``coeff_dtype=jnp.bfloat16`` (3-D only) rounds the five smooth
+    coefficient fields to bf16 for both paths and streams them at half
+    width through the fused kernel — the production fast mode (see
+    :func:`_propagate_tti3d`; ~0.4% coefficient rounding, θ=0 reduction
+    stays exact)."""
     import math
 
     from ..core.blockspace import BlockSpace
@@ -2067,16 +2287,25 @@ def tti_wave_propagator(
     if len(grid_shape) not in (2, 3):
         raise ValueError("tti_wave_propagator supports 2-D and 3-D grids")
     three_d = len(grid_shape) == 3
+    if coeff_dtype is not None:
+        if jnp.dtype(coeff_dtype) not in (jnp.dtype(jnp.float32),
+                                          jnp.dtype(jnp.bfloat16)):
+            raise ValueError("coeff_dtype must be float32 or bfloat16")
+        if not three_d and jnp.dtype(coeff_dtype) == jnp.bfloat16:
+            raise ValueError("bf16 coefficient mode is 3-D only")
+    coeff_isz = (2 if coeff_dtype is not None
+                 and jnp.dtype(coeff_dtype) == jnp.bfloat16 else 4)
     if fused:
         from .pallas_wave import fits_tti_pallas
 
         if q is not None:
             raise ValueError("fused TTI step does not support static Q")
         if not three_d or not fits_tti_pallas(grid_shape, dtype,
-                                              space_order):
+                                              space_order, coeff_isz):
             raise ValueError(
                 "fused TTI step requires a 3-D f32 grid with "
-                "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+                "lane/sublane-aligned minor dims (W%128==0, H%8==0; "
+                "H%16==0 for bf16 coefficients)"
             )
     og = ig = None
     if q is not None:
@@ -2103,6 +2332,7 @@ def tti_wave_propagator(
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
                 remat_blocks=remat_blocks, fused=fused, og=og, ig=ig,
+                coeff_dtype=coeff_dtype,
             )
             return _resample(traces) if _resample is not None else traces
         traces = _propagate_tti(

@@ -496,3 +496,263 @@ def test_fused_q_odd_nt_and_dtrec():
     # dtrec composes with the fused attenuating step
     Fr = q_wave_propagator(SHAPE, nt=21, dtrec=1.2e-3, fused=True, **kw)
     assert Fr.rng.shape[0] == 11 and Fr(m).shape[0] == 11
+
+
+# ---------------------------------------------------------------------- #
+# fused adjoint (reverse-sweep) step — the FWI/RTM gradient hot path
+# ---------------------------------------------------------------------- #
+
+# int8 histories tile at (32, 128): H must be a multiple of 32
+ASHAPE = (16, 32, 128)
+ASRC = int(np.ravel_multi_index((8, 16, 64), ASHAPE))
+ARCV = jnp.asarray(
+    [np.ravel_multi_index((8, 16, x), ASHAPE) for x in range(128)],
+    jnp.int32)
+AKW = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0, src_idx=ASRC,
+           rcv_idx=ARCV, sponge_width=3, dtype=jnp.float32)
+
+
+def test_fused_adjoint_step_bit_exact_order2():
+    from jets_tpu.ops.pallas_wave import fused_adjoint_step
+
+    D, H, W = SHAPE
+    keys = jax.random.split(jax.random.PRNGKey(11), 5)
+    a1 = jax.random.normal(keys[0], SHAPE, jnp.float32)
+    a2 = jax.random.normal(keys[1], SHAPE, jnp.float32)
+    gc2 = jax.random.normal(keys[2], SHAPE, jnp.float32)
+    c2 = jax.random.uniform(keys[3], SHAPE, jnp.float32) + 0.5
+    u = jax.random.normal(keys[4], SHAPE, jnp.float32)
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+
+    @jax.jit
+    def xla_ref(a1, a2, gc2, c2, u):
+        S = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(1, 1, W)
+        ebar = a1 * S
+        gc2n = gc2 + laplacian_nd(u, order=2) * ebar
+        core = (2.0 * ebar + laplacian_nd(c2 * ebar, order=2)) - a2 * S
+        return core, gc2n
+
+    core, gc2n = fused_adjoint_step(
+        a1, a2, gc2, c2, u, jnp.float32(1.0), sz,
+        sy.reshape(H, 1), sx.reshape(1, W), order=2, interpret=True)
+    cr, gr = xla_ref(a1, a2, gc2, c2, u)
+    # ulp-level, not array_equal: the adjoint tree's trailing mul-adds
+    # (gc2 + lap·ē, core − a2·S) are FMA-contracted differently by XLA
+    # per surrounding context (measured: even jit-vs-eager of the SAME
+    # reference expression differs by 1-2 ulp on CPU), so bitwise equality
+    # is not a property of the tree itself here.
+    np.testing.assert_allclose(np.asarray(core), np.asarray(cr),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc2n), np.asarray(gr),
+                               rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("order", [4, 8])
+def test_fused_adjoint_step_higher_orders(order):
+    from jets_tpu.ops.pallas_wave import (adjoint_step_tile,
+                                          fused_adjoint_step)
+
+    if adjoint_step_tile(SHAPE, order) is None:
+        pytest.skip("no feasible tile at this order")
+    D, H, W = SHAPE
+    keys = jax.random.split(jax.random.PRNGKey(12), 5)
+    a1 = jax.random.normal(keys[0], SHAPE, jnp.float32)
+    a2 = jax.random.normal(keys[1], SHAPE, jnp.float32)
+    gc2 = jax.random.normal(keys[2], SHAPE, jnp.float32)
+    c2 = jax.random.uniform(keys[3], SHAPE, jnp.float32) + 0.5
+    u = jax.random.normal(keys[4], SHAPE, jnp.float32)
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+
+    @jax.jit
+    def xla_ref(a1, a2, gc2, c2, u):
+        S = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(1, 1, W)
+        ebar = a1 * S
+        gc2n = gc2 + laplacian_nd(u, order=order) * ebar
+        core = (2.0 * ebar
+                + laplacian_nd(c2 * ebar, order=order)) - a2 * S
+        return core, gc2n
+
+    core, gc2n = fused_adjoint_step(
+        a1, a2, gc2, c2, u, jnp.float32(1.0), sz,
+        sy.reshape(H, 1), sx.reshape(1, W), order=order, interpret=True)
+    cr, gr = xla_ref(a1, a2, gc2, c2, u)
+    np.testing.assert_allclose(np.asarray(core), np.asarray(cr),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gc2n), np.asarray(gr),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_adjoint_step_int8_decode():
+    """int8 history decode in-register: q.astype(f32)·(s/127) matches the
+    XLA dec tree exactly."""
+    from jets_tpu.ops.pallas_wave import fused_adjoint_step
+
+    D, H, W = SHAPE
+    keys = jax.random.split(jax.random.PRNGKey(13), 5)
+    a1 = jax.random.normal(keys[0], SHAPE, jnp.float32)
+    a2 = jax.random.normal(keys[1], SHAPE, jnp.float32)
+    gc2 = jnp.zeros(SHAPE, jnp.float32)
+    c2 = jax.random.uniform(keys[3], SHAPE, jnp.float32) + 0.5
+    u = jax.random.normal(keys[4], SHAPE, jnp.float32)
+    s = jnp.max(jnp.abs(u))
+    q = jnp.round(u * (127.0 / s)).astype(jnp.int8)
+    sz = jnp.ones((D,), jnp.float32)
+    sy = jnp.ones((H,), jnp.float32)
+    sx = jnp.ones((W,), jnp.float32)
+
+    @jax.jit
+    def xla_ref(a1, a2, gc2, c2, q, s):
+        u_dec = q.astype(jnp.float32) * (s / 127.0)
+        ebar = a1
+        gc2n = gc2 + laplacian_nd(u_dec, order=2) * ebar
+        core = (2.0 * ebar + laplacian_nd(c2 * ebar, order=2)) - a2
+        return core, gc2n
+
+    core, gc2n = fused_adjoint_step(
+        a1, a2, gc2, c2, q, s / 127.0, sz,
+        sy.reshape(H, 1), sx.reshape(1, W), order=2, interpret=True)
+    cr, gr = xla_ref(a1, a2, gc2, c2, q, s)
+    # sponge = 1 exactly: ebar trees coincide up to ×1.0 (exact); the
+    # remaining slack is XLA's context-dependent FMA contraction (see
+    # test_fused_adjoint_step_bit_exact_order2)
+    np.testing.assert_allclose(np.asarray(gc2n), np.asarray(gr),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(core), np.asarray(cr),
+                               rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("store,tol",
+                         [("f32", 2e-5), ("bf16", 2e-2), ("int8", 5e-2)])
+def test_fused_stored_adjoint_matches_xla(store, tol):
+    """The whole fused stored-adjoint sweep (fused forward history + fused
+    reverse kernel + in-place receiver injection) matches the XLA
+    stored-adjoint path at the same storage setting."""
+    from jets_tpu.ops.wave import wave_propagator
+
+    kw = dict(AKW, store_adjoint=store)
+    Ff = wave_propagator(ASHAPE, fused=True, **kw)
+    Fx = wave_propagator(ASHAPE, fused=False, **kw)
+    c = jnp.full(ASHAPE, 1500.0, jnp.float32) + 20.0 * jax.random.normal(
+        jax.random.PRNGKey(21), ASHAPE, jnp.float32)
+    # physical cotangent (modeled residual), not white noise
+    d = Fx(c * 1.02) - Fx(c)
+    _assert_live(d)
+    gf = np.asarray(Ff.linearize(c).H(d))
+    gx = np.asarray(Fx.linearize(c).H(d))
+    scale = float(np.max(np.abs(gx)))
+    assert scale > 0.0, "vacuous: zero adjoint"
+    np.testing.assert_allclose(gf / scale, gx / scale, rtol=0, atol=tol)
+
+
+def test_fused_stored_adjoint_matches_autodiff_and_gate():
+    """fused f32 stored adjoint ≈ reverse-mode autodiff through the scan,
+    and the dot-product gate holds on the fused operator."""
+    from jets_tpu.ops.wave import wave_propagator
+
+    Fa = wave_propagator(ASHAPE, fused=False, **AKW)
+    Fs = wave_propagator(ASHAPE, fused=True, store_adjoint="f32", **AKW)
+    c = jnp.full(ASHAPE, 1500.0, jnp.float32)
+    d = Fa.rng.randn(jax.random.PRNGKey(22)).astype(jnp.float32)
+    ga = np.asarray(Fa.linearize(c).H(d))
+    gs = np.asarray(Fs.linearize(c).H(d))
+    scale = float(np.max(np.abs(ga)))
+    assert scale > 0.0
+    np.testing.assert_allclose(gs / scale, ga / scale, rtol=1e-5, atol=1e-5)
+
+    J = Fs.linearize(c)
+    m = J.dom.randn(jax.random.PRNGKey(23)).astype(jnp.float32)
+    dd = J.rng.randn(jax.random.PRNGKey(24)).astype(jnp.float32)
+    lhs, rhs = jt.dot_product_test(J, m, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+
+def test_fused_stored_adjoint_odd_nt():
+    """Odd nt exercises BOTH padding paths (forward wavelet pad + reverse
+    dummy front step)."""
+    from jets_tpu.ops.wave import wave_propagator
+
+    kw = dict(AKW, nt=25, store_adjoint="f32")
+    Ff = wave_propagator(ASHAPE, fused=True, **kw)
+    Fx = wave_propagator(ASHAPE, fused=False, **kw)
+    c = jnp.full(ASHAPE, 1500.0, jnp.float32)
+    d = Fx(c * 1.02) - Fx(c)
+    _assert_live(d)
+    gf = np.asarray(Ff.linearize(c).H(d))
+    gx = np.asarray(Fx.linearize(c).H(d))
+    scale = float(np.max(np.abs(gx)))
+    assert scale > 0.0
+    np.testing.assert_allclose(gf / scale, gx / scale, rtol=0, atol=2e-5)
+
+
+def test_fused_adjoint_gating():
+    from jets_tpu.ops.pallas_wave import fits_adjoint_pallas
+    from jets_tpu.ops.wave import wave_propagator
+
+    assert fits_adjoint_pallas(ASHAPE, jnp.float32, 2, "int8")
+    assert fits_adjoint_pallas(SHAPE, jnp.float32, 2, "f32")
+    # H=8 is sublane-feasible for f32 histories but not bf16/int8
+    assert not fits_adjoint_pallas(SHAPE, jnp.float32, 2, "int8")
+    assert not fits_adjoint_pallas(SHAPE, jnp.float32, 2, "bf16")
+    assert not fits_adjoint_pallas((16, 8, 100), jnp.float32, 2, "f32")
+    with pytest.raises(ValueError, match="stored-adjoint"):
+        wave_propagator(SHAPE, nt=4, fused=True, store_adjoint="int8")
+
+
+def test_fused_tti_bf16_coeff_mode():
+    """Reduced-precision TTI coefficient mode: fused(bf16 fields) must
+    match the XLA path on the SAME rounded coefficients, the rounded
+    physics must stay close to the f32 physics, and the θ=0 VTI reduction
+    must stay exact (bf16 represents 0/1 exactly)."""
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0, src_idx=ASRC,
+              rcv_idx=ARCV, sponge_width=3, dtype=jnp.float32)
+    Ff = tti_wave_propagator(ASHAPE, fused=True,
+                             coeff_dtype=jnp.bfloat16, **kw)
+    Fx = tti_wave_propagator(ASHAPE, fused=False,
+                             coeff_dtype=jnp.bfloat16, **kw)
+    F32 = tti_wave_propagator(ASHAPE, fused=False, **kw)
+    full = lambda v: jnp.full(ASHAPE, v, jnp.float32)  # noqa: E731
+    m = (Ff.dom.zeros().setblock(0, full(1800.0)).setblock(1, full(0.1))
+         .setblock(2, full(0.05)).setblock(3, full(0.2))
+         .setblock(4, full(0.7)))
+    df, dx_, d32 = Ff(m), Fx(m), F32(m)
+    _assert_live(dx_)
+    scale = float(jnp.max(jnp.abs(dx_))) or 1.0
+    # fused vs XLA on identical rounded coefficients: tight
+    np.testing.assert_allclose(np.asarray(df) / scale,
+                               np.asarray(dx_) / scale, atol=5e-5)
+    # rounded vs f32 physics: bf16 coefficient rounding only
+    rel = float(jnp.linalg.norm(dx_ - d32) / (jnp.linalg.norm(d32) + 1e-30))
+    assert rel < 3e-2, f"bf16 coefficient rounding too large: {rel}"
+    assert rel > 0.0, "vacuous: coeff rounding changed nothing"
+
+    J = Ff.linearize(m)
+    mm = J.dom.randn(jax.random.PRNGKey(31))
+    dd = J.rng.randn(jax.random.PRNGKey(32))
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-5)
+
+    # ε = δ = θ = φ = 0: every coefficient is exactly 0 or 1, which bf16
+    # represents exactly — the isotropic reduction must be unchanged by
+    # the coefficient mode (bit-for-bit)
+    m0 = m
+    for b in (1, 2, 3, 4):
+        m0 = m0.setblock(b, full(0.0))
+    np.testing.assert_array_equal(np.asarray(Fx(m0)), np.asarray(F32(m0)))
+
+
+def test_tti_bf16_coeff_validation():
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    with pytest.raises(ValueError, match="3-D only"):
+        tti_wave_propagator((16, 16), coeff_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="coeff_dtype"):
+        tti_wave_propagator(ASHAPE, coeff_dtype=jnp.int8)
+    # H=8 misses the bf16 (16,128) tile: fused+bf16 must refuse eagerly
+    with pytest.raises(ValueError, match="fused TTI"):
+        tti_wave_propagator(SHAPE, fused=True, coeff_dtype=jnp.bfloat16)
