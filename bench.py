@@ -69,7 +69,43 @@ def _timed(fn, read_scalar, args_per_rep):
     return min(ts), r
 
 
+def _selfcert():
+    """Re-pin Pallas-vs-XLA agreement ON REAL HARDWARE at the top of every
+    bench run (VERDICT r3 item 7): a Mosaic regression must fail the BENCH
+    artifact loudly, not ship silently-wrong physics. Small shape, real
+    signal (live-guarded), fused forward AND fused stored adjoint."""
+    import numpy as np
+
+    from jets_tpu.ops.wave import wave_propagator
+
+    shape = (16, 32, 128)
+    rcv = jnp.asarray([np.ravel_multi_index((8, 16, x), shape)
+                       for x in range(128)], jnp.int32)
+    kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 16, 64), shape)),
+              rcv_idx=rcv, sponge_width=3, dtype=jnp.float32)
+    c = jnp.full(shape, 1500.0, jnp.float32)
+    Ff = wave_propagator(shape, fused=True, store_adjoint="int8", **kw)
+    Fx = wave_propagator(shape, fused=False, store_adjoint="int8", **kw)
+    d = Fx(c * 1.02) - Fx(c)
+    assert float(jnp.max(jnp.abs(d))) > 0.0, "selfcert: vacuous signal"
+    df, dx_ = Ff(c), Fx(c)
+    sc = float(jnp.max(jnp.abs(dx_)))
+    rel_f = float(jnp.max(jnp.abs(df - dx_))) / sc
+    gf = jax.jit(lambda dd: Ff.linearize(c).H(dd))(d)
+    gx = jax.jit(lambda dd: Fx.linearize(c).H(dd))(d)
+    sg = float(jnp.max(jnp.abs(gx)))
+    assert sg > 0.0, "selfcert: vacuous adjoint"
+    rel_a = float(jnp.max(jnp.abs(gf - gx))) / sg
+    assert rel_f < 1e-4, f"fused forward diverged from XLA: {rel_f}"
+    assert rel_a < 1e-4, f"fused adjoint diverged from XLA: {rel_a}"
+    _stage(f"selfcert ok (fwd rel {rel_f:.1e}, adj rel {rel_a:.1e})")
+    return rel_f, rel_a
+
+
 def main():
+    _stage("selfcert: fused-vs-XLA on real hardware")
+    selfcert_fwd, selfcert_adj = _selfcert()
     _stage("building problem")
     # 5% observation noise keeps the LS problem inconsistent so the solver
     # runs its full iteration budget (no early exact-fit exit).
@@ -133,16 +169,69 @@ def main():
 
     wt_lo, wt_hi = wave_time(20), wave_time(220)
     wave_step_us = (wt_hi - wt_lo) / 200 * 1e6
-    _stage(f"wave step done ({wave_step_us:.0f} us/step); TTI step")
+    _stage(f"wave step done ({wave_step_us:.0f} us/step); gradient step")
+
+    # ---- 3-D FWI gradient step (fused forward + fused stored-int8 reverse
+    # sweep — the production imaging hot path; round-3 had NO gradient
+    # number anywhere). us per TIME STEP of the whole gradient (both
+    # sweeps), marginal between nt budgets.
+    import numpy as np
+
+    grcv = jnp.asarray([np.ravel_multi_index((128, 128, x), wshape)
+                        for x in range(0, 256, 2)], jnp.int32)
+    gkw = dict(dt=5e-4, dx=10.0, freq=15.0,
+               src_idx=int(np.ravel_multi_index((128, 128, 128), wshape)),
+               rcv_idx=grcv, sponge_width=12, dtype=jnp.float32)
+
+    def grad_time(nt):
+        F = wave_propagator(wshape, nt=nt, store_adjoint="int8",
+                            fused=True, **gkw)
+        g = jax.jit(lambda c: jnp.sum(F.linearize(c).H(
+            jnp.ones((nt, grcv.shape[0]), jnp.float32))))
+        t, _ = _timed(g, wread, [(c,) for c in cs])
+        return t
+
+    grad_step_us = (grad_time(220) - grad_time(20)) / 200 * 1e6
+    _stage(f"gradient step done ({grad_step_us:.0f} us/step); multishot")
+
+    # ---- config-#5-scale multishot (256^3, 16 shots, sequential
+    # shot_map='map' so each shot rides the fused kernels): forward and
+    # gradient cost per shot-step.
+    from jets_tpu.ops.wave import multishot_wave_operator
+
+    NSH = 16
+    msrc = jnp.asarray(
+        np.ravel_multi_index(
+            (np.full(NSH, 128), np.full(NSH, 128),
+             16 + 14 * np.arange(NSH)), wshape), jnp.int32)
+
+    def ms_times(nt):
+        F = multishot_wave_operator(
+            wshape, msrc, nt=nt, dt=5e-4, dx=10.0, freq=15.0,
+            rcv_idx=grcv, sponge_width=12, store_adjoint="int8",
+            shot_map="map", dtype=jnp.float32)
+        gf = jax.jit(lambda c: jnp.sum(F(c) ** 2))
+        tf, _ = _timed(gf, wread, [(c,) for c in cs])
+        gg = jax.jit(lambda c: jnp.sum(F.linearize(c).H(
+            jnp.ones((NSH, nt, grcv.shape[0]), jnp.float32))))
+        tg, _ = _timed(gg, wread, [(c,) for c in cs])
+        return tf, tg
+
+    msf_lo, msg_lo = ms_times(20)
+    msf_hi, msg_hi = ms_times(120)
+    ms_fwd_us = (msf_hi - msf_lo) / 100 / NSH * 1e6
+    ms_grad_us = (msg_hi - msg_lo) / 100 / NSH * 1e6
+    _stage(f"multishot done (fwd {ms_fwd_us:.0f}, grad {ms_grad_us:.0f} "
+           "us/shot-step); TTI step")
 
     # ---- 3-D fused TTI coupled step (the anisotropic flagship kernel:
     # measured 4506 us/step XLA -> 1672 us/step fused = 2.70x on 256^3)
     from jets_tpu.ops.wave import tti_wave_propagator
 
-    def tti_time(nt):
+    def tti_time(nt, cd):
         F = tti_wave_propagator(wshape, nt=nt, dt=5e-4, dx=10.0, freq=15.0,
                                 src_idx=7, sponge_width=12, fused=True,
-                                dtype=jnp.float32)
+                                coeff_dtype=cd, dtype=jnp.float32)
 
         @jax.jit
         def build(v):
@@ -157,8 +246,11 @@ def main():
                                  for i in range(4)])
         return t
 
-    tti_step_us = (tti_time(60) - tti_time(10)) / 50 * 1e6
-    _stage(f"TTI step done ({tti_step_us:.0f} us/step); matvec pair loop")
+    tti_step_us = (tti_time(60, None) - tti_time(10, None)) / 50 * 1e6
+    _stage(f"TTI f32 step done ({tti_step_us:.0f} us/step); bf16 coeffs")
+    tti16_step_us = (tti_time(60, jnp.bfloat16)
+                     - tti_time(10, jnp.bfloat16)) / 50 * 1e6
+    _stage(f"TTI bf16 step done ({tti16_step_us:.0f} us/step); matvec")
 
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
@@ -192,7 +284,14 @@ def main():
                 "wave3d_step_us": round(wave_step_us, 2),
                 "wave3d_gcell_steps_per_s": round(
                     256**3 / wave_step_us / 1e3, 2),
+                "wave3d_grad_step_us": round(grad_step_us, 2),
+                "ms3d_fwd_us_per_shot_step": round(ms_fwd_us, 2),
+                "ms3d_grad_us_per_shot_step": round(ms_grad_us, 2),
+                "ms3d_config": f"grid={wshape}, nshots=16, map+int8",
                 "tti3d_step_us": round(tti_step_us, 2),
+                "tti3d_bf16_step_us": round(tti16_step_us, 2),
+                "selfcert_fwd_rel": float(f"{selfcert_fwd:.2e}"),
+                "selfcert_adj_rel": float(f"{selfcert_adj:.2e}"),
                 "relative_residual": round(resid_rel, 6),
                 "config": f"grid={GRID}, nshots={NSHOTS}, nrecv={NRECV}, f32",
                 "device": str(jax.devices()[0]),

@@ -67,6 +67,118 @@ def _marginal_iters_per_s(A, d_obs, lo, hi, mesh=None):
     return (hi - lo) / max(t_hi - t_lo, 1e-9)
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
+                "c64": 8, "c128": 16}
+
+
+def _shape_bytes(tok: str) -> int:
+    """Bytes of one HLO shape token like ``f32[24,16]{1,0}``."""
+    import re
+
+    m = re.match(r"([a-z0-9]+)\[([\d,]*)\]", tok)
+    if not m:
+        return 0
+    dt, dims = m.groups()
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
+def hlo_collective_audit(hlo_text: str):
+    """Count collectives (and their payload bytes) per HLO computation in
+    an optimized module, highlighting while-loop bodies — the measurable
+    form of 'k collective rounds per solver iteration'."""
+    import re
+
+    kinds = ("all-reduce", "all-gather", "reduce-scatter",
+             "collective-permute", "all-to-all")
+    cur = None
+    per_comp = {}
+    for line in hlo_text.splitlines():
+        ls = line.strip()
+        if ls.endswith("{") and "->" in ls and "(" in ls:
+            cur = ls.split()[0].lstrip("%")
+            continue
+        for kind in kinds:
+            if re.search(rf"\b{kind}(?:-start|-done)?\(", ls) and "=" in ls:
+                if f"{kind}-done" in ls:
+                    continue  # count start/done pairs once
+                lhs = ls.split("=", 1)[0]
+                shp = ls.split("=", 1)[1].strip()
+                # result shape: possibly a tuple "(f32[..], f32[..])"
+                mt = re.match(r"\(([^)]*)\)", shp)
+                toks = ([t.strip() for t in mt.group(1).split(",") if "[" in t]
+                        if mt else [shp.split()[0]])
+                nb = sum(_shape_bytes(t) for t in toks)
+                d = per_comp.setdefault(cur or "entry",
+                                        {k: 0 for k in kinds} | {"bytes": 0})
+                d[kind] += 1
+                d["bytes"] += nb
+    # surface loop bodies (they run once PER ITERATION): read them off the
+    # while instructions' body= attributes
+    body_names = set(re.findall(r"body=%([\w\.\-]+)", hlo_text))
+    bodies = {k: v for k, v in per_comp.items() if k in body_names}
+    return {"per_iteration_bodies": bodies, "all_computations": per_comp}
+
+
+def audit_distributed_lsqr(n_devices: int = 8):
+    """Compile the three distribution paths on the virtual mesh and report
+    collectives per solver iteration / per FWI gradient step."""
+    import numpy as np
+
+    from jets_tpu.ops.wave import multishot_wave_operator
+    from jets_tpu.parallel.gspmd import (make_mesh_2d, shard_data,
+                                         shard_model)
+
+    out = {}
+    mesh = make_block_mesh(n_devices)
+    A, _, d = make_seismic_problem((64, 64), n_devices * 2, 64, seed=0,
+                                   mesh=mesh, dtype=jnp.float32)
+    db = shard_blocks(d, mesh)
+    txt = jax.jit(
+        lambda b: lsqr(A, b, maxiter=5, tol=0.0).resnorm
+    ).lower(db).compile().as_text()
+    out["shard_map_lsqr"] = hlo_collective_audit(txt)["per_iteration_bodies"]
+
+    if n_devices % 2 == 0:
+        mesh2 = make_mesh_2d(n_devices // 2, 2)
+        A2, _, d2 = make_seismic_problem((64, 64), n_devices * 2, 64,
+                                         seed=0, dtype=jnp.float32)
+        txt2 = jax.jit(
+            lambda b, x0: lsqr(A2, b, x0=x0, maxiter=5, tol=0.0).resnorm
+        ).lower(shard_data(d2, mesh2),
+                shard_model(A2.dom.zeros(), mesh2)).compile().as_text()
+        out["gspmd_2d_lsqr"] = \
+            hlo_collective_audit(txt2)["per_iteration_bodies"]
+
+    grid = (16, 16)
+    srcs = jnp.asarray(np.ravel_multi_index(
+        (np.full(n_devices, 8), 2 + np.arange(n_devices) % 12), grid),
+        jnp.int32)
+    Fw = multishot_wave_operator(
+        grid, srcs, nt=12, dt=8e-4, dx=10.0, freq=18.0, sponge_width=3,
+        store_adjoint="int8", mesh=mesh, shot_map="map", dtype=jnp.float32)
+    c0 = jnp.full(grid, 1500.0, jnp.float32)
+    dobs = Fw(c0 * 1.02)
+    txt3 = jax.jit(
+        lambda c, do: jnp.sum(Fw.linearize(c).H(Fw(c) - do))
+    ).lower(c0, dobs).compile().as_text()
+    a3 = hlo_collective_audit(txt3)
+    # one psum per gradient — it is OUTSIDE the time loop (whole-program
+    # count is the meaningful number here)
+    tot = {k: 0 for k in ("all-reduce", "all-gather", "reduce-scatter",
+                          "collective-permute", "all-to-all")}
+    tot["bytes"] = 0
+    for comp in a3["all_computations"].values():
+        for k in tot:
+            tot[k] += comp[k]
+    out["map_mode_fwi_gradient_whole_program"] = tot
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=512)
@@ -77,7 +189,16 @@ def main():
     ap.add_argument("--hi", type=int, default=550)
     ap.add_argument("--counts", type=str, default="",
                     help="comma-separated device counts (default: powers of 2)")
+    ap.add_argument("--audit", action="store_true",
+                    help="compile the distributed paths and report "
+                         "collectives/bytes per solver iteration from the "
+                         "optimized HLO (checkable on the virtual mesh)")
     args = ap.parse_args()
+
+    if args.audit:
+        print(json.dumps(audit_distributed_lsqr(
+            min(8, len(jax.devices()))), indent=1))
+        return
 
     n_avail = len(jax.devices())
     if args.counts:

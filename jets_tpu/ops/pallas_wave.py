@@ -382,6 +382,13 @@ def _vti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, p_blk,
         qo_blk[pl.ds(t, 1)] = e_q[t:t + 1] * plane[None] + s_t * mask_t
 
 
+# swept in-loop at 256³ (r4): T=2 → 970 µs, T=4 (budget 20/limit 32) →
+# 1080 µs — the bigger tile LOSES here (the q-only ring keeps T=2's DMA
+# overhead low and the larger working set hurts); keep the 16 MB default.
+_VTI_VMEM_BUDGET = 12 * 2**20
+_VTI_VMEM_LIMIT = 16 * 2**20
+
+
 def vti_step_tile(shape, order: int, itemsize: int = 4):
     """8 blocked grid arrays double-buffered (16·T) + the q DMA ring."""
     D, H, W = shape
@@ -390,7 +397,7 @@ def vti_step_tile(shape, order: int, itemsize: int = 4):
         if D % t or t < hw:
             continue
         vmem = (2 * (t + 2 * hw) + 16 * t) * H * W * itemsize
-        if vmem <= 12 * 2**20:
+        if vmem <= _VTI_VMEM_BUDGET:
             return t
     return None
 
@@ -443,6 +450,8 @@ def fused_vti_step(p_prev, p, q_prev, q, c2dt2, ah, av, spz, sy, sx,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         input_output_aliases={} if interpret else {5: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VTI_VMEM_LIMIT),
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, p_prev, p, q_prev, c2dt2, ah, av, q)
 
@@ -650,6 +659,16 @@ def _tti_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, pp_blk, qp_blk,
         qo_blk[pl.ds(t, 1)] = e_q[t:t + 1] * plane[None] + s_t * mask_t
 
 
+# TTI kernel VMEM knobs. Mosaic's default scoped-vmem limit is 16 MB, but
+# v5e accepts a raised vmem_limit_bytes; the declared-buffer budget leaves
+# headroom for the kernel's in-register window temporaries. Swept in-loop
+# at 256³ (r4): f32 coeffs T=1/2/4 → 1672/1611/1552 µs; bf16 coeffs
+# T=2/4 → 1221/1162 µs (T=8 crashed the TPU compiler — backed off).
+# Budget 26 MB / limit 44 MB selects T=4 for both coefficient widths.
+_TTI_VMEM_BUDGET = 26 * 2**20
+_TTI_VMEM_LIMIT = 44 * 2**20
+
+
 def tti_step_tile(shape, order: int, itemsize: int = 4,
                   coeff_itemsize: int = 4):
     """5 f32 blocked grid arrays (pp, qp, c2, p_out, q_out) + 5 coefficient
@@ -665,7 +684,7 @@ def tti_step_tile(shape, order: int, itemsize: int = 4,
             continue
         vmem = (4 * (t + 2 * hw) * itemsize + 10 * t * itemsize
                 + 10 * t * coeff_itemsize) * H * W
-        if vmem <= 12 * 2**20:
+        if vmem <= _TTI_VMEM_BUDGET:
             return t
     return None
 
@@ -730,6 +749,8 @@ def fused_tti_step(p_prev, p, q_prev, q, c2dt2, ah, av, nz, ny, nx,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         input_output_aliases={} if interpret else {5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TTI_VMEM_LIMIT),
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, p_prev, q_prev, c2dt2, ah, av, nz, ny, nx,
       p, q)
@@ -912,6 +933,12 @@ def _adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk, a2_blk, gc2_blk,
         acore_blk[pl.ds(t, 1)] = (2.0 * ebar_c + lap_w) - ebarn
 
 
+# swept in-loop at 256³ (r4, int8 gradient fwd+rev): adjoint T=2 →
+# 1417 µs/step, T=4 (budget 20/limit 32) → 1339 µs/step.
+_ADJ_VMEM_BUDGET = 20 * 2**20
+_ADJ_VMEM_LIMIT = 32 * 2**20
+
+
 def adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
     """Largest z tile for the adjoint kernel: TWO f32 DMA rings (a_{k+1},
     c²dt²) + the history ring at its stored width + 4 blocked f32 arrays
@@ -925,7 +952,7 @@ def adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
             continue
         ring = 2 * (t + 2 * hw)
         vmem = (ring * 2 * 4 + ring * store_itemsize + 8 * t * 4) * H * W
-        if vmem <= 10 * 2**20:
+        if vmem <= _ADJ_VMEM_BUDGET:
             return t
     return None
 
@@ -998,6 +1025,8 @@ def fused_adjoint_step(a1, a2, gc2, c2dt2, u_enc, sc, spz, sy, sx, *,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         input_output_aliases={} if interpret else {4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_ADJ_VMEM_LIMIT),
         interpret=interpret,
     )(scal, spz, sy, sx, a2, gc2, a1, c2dt2, u_enc)
 
@@ -1005,17 +1034,24 @@ def fused_adjoint_step(a1, a2, gc2, c2dt2, u_enc, sc, spz, sy, sx, *,
 # ---------------------------------------------------------------------------
 # Fused visco-acoustic (Kosloff constant-Q) step — the attenuation leapfrog
 # of ops/wave.py::_propagate_q. Same slab pipeline as the isotropic kernel
-# with two extra blocked coefficient fields: the friction enters as
-#     u_next = S · ((2u − (1−γdt)·u_prev + c²dt²·∆u) · 1/(1+γdt)) + s·mask
-# so the minimum is SIX grid touches (u stencilled, u_prev, c²dt², 1−γdt,
-# 1/(1+γdt) read; u_next written, aliased onto u_prev). The reference
-# family's production propagators are all *DenQ (attenuating): this closes
-# the fused-kernel story for the single-field attenuating physics.
+# with ONE extra blocked coefficient field: the friction enters as
+#     u_next = S · ((2u − (1−g)·u_prev + c²dt²·∆u) · 1/(1+g)) + s·mask
+# with g = γ·dt streamed as a single field and (1−g) / 1/(1+g) recomputed
+# IN-REGISTER (one subtract + one divide per element — VPU-free against
+# the HBM traffic this buys). Round-3 shipped a two-field (1−g, 1/(1+g))
+# version that measured SLOWER than XLA in-loop (777 vs 525 µs at 256³):
+# the two extra fields forced the slab tile to T=2 and paid 7 touches.
+# The single-field form is 5 touches (u stencilled, u_prev, c²dt², g read;
+# u_next written aliased onto u_prev) and fits T=4; with bf16 g
+# (coeff_dtype mode, same straight-through rounding as TTI) it is 4.5.
+# The reference family's production propagators are all *DenQ
+# (attenuating): this closes the fused-kernel story for the single-field
+# attenuating physics.
 # ---------------------------------------------------------------------------
 
 
 def _q_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
-              og_blk, ig_blk, u_hbm, out_blk, scratch, sems, *,
+              g_blk, u_hbm, out_blk, scratch, sems, *,
               T, D, H, W, order):
     c0, cs = _D2_COEFFS[order]
     hw = len(cs)
@@ -1108,9 +1144,15 @@ def _q_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
         else:
             lap = lap + coef * (xlo + xhi)
 
-    # EXACT _propagate_q tree: (2u − om1g·up + c²dt²·lap) · inv1pg
-    e = (2.0 * c - og_blk[...] * up_blk[...] + c2_blk[...] * lap) \
-        * ig_blk[...]
+    # EXACT _propagate_q tree: (2u − om1g·up + c²dt²·lap) · inv1pg, with
+    # om1g = 1−g and inv1pg = 1/(1+g) recomputed in-register from the
+    # single (possibly bf16) g field — the same f32 ops as the XLA path's
+    # precomputed full-grid coefficient arrays, so bit-exactness holds
+    g = g_blk[...].astype(jnp.float32)
+    om1g = 1.0 - g
+    inv1pg = 1.0 / (1.0 + g)
+    e = (2.0 * c - om1g * up_blk[...] + c2_blk[...] * lap) \
+        * inv1pg
 
     s_t = scal_ref[0]
     amp = scal_ref[1]
@@ -1124,20 +1166,29 @@ def _q_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
         out_blk[pl.ds(t, 1)] = e[t:t + 1] * plane[None] + s_t * mask_t
 
 
-def q_step_tile(shape, order: int, itemsize: int = 4):
-    """5 blocked grid arrays double-buffered (10·T) + the u DMA ring."""
+_Q_VMEM_BUDGET = 12 * 2**20
+_Q_VMEM_LIMIT = 16 * 2**20
+
+
+def q_step_tile(shape, order: int, itemsize: int = 4,
+                g_itemsize: int = 4):
+    """3 f32 blocked grid arrays (u_prev, c²dt², u_next) + the g field at
+    its stored width, double-buffered, + the u DMA ring. The single-field
+    form fits T=4 at 256³ (the round-3 two-field kernel was stuck at T=2,
+    which is where its in-loop loss lived)."""
     D, H, W = shape
     hw = len(_D2_COEFFS[order][1])
     for t in (8, 4, 2, 1):
         if D % t or t < hw:
             continue
-        vmem = (2 * (t + 2 * hw) + 10 * t) * H * W * itemsize
-        if vmem <= 12 * 2**20:
+        vmem = (2 * (t + 2 * hw) * itemsize + 6 * t * itemsize
+                + 2 * t * g_itemsize) * H * W
+        if vmem <= _Q_VMEM_BUDGET:
             return t
     return None
 
 
-def fits_q_pallas(shape, dtype, order: int) -> bool:
+def fits_q_pallas(shape, dtype, order: int, g_itemsize: int = 4) -> bool:
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     if order not in _D2_COEFFS:
@@ -1145,16 +1196,21 @@ def fits_q_pallas(shape, dtype, order: int) -> bool:
     D, H, W = shape
     if W % 128 != 0 or H % 8 != 0:
         return False
-    return q_step_tile(shape, order) is not None
+    if g_itemsize == 2 and H % 16 != 0:
+        return False  # bf16 blocks tile at (16, 128)
+    return q_step_tile(shape, order, 4, g_itemsize) is not None
 
 
-def fused_q_step(u_prev, u, c2dt2, om1g, inv1pg, spz, sy, sx, s_t, src_idx,
+def fused_q_step(u_prev, u, c2dt2, g, spz, sy, sx, s_t, src_idx,
                  amp, *, order: int = 2, interpret: bool = False):
     """One Kosloff constant-Q leapfrog step in a single slab-pipelined pass
-    (6 grid touches; ``u_prev`` aliased in place to ``u_next``). Raw
-    kernel; ``ops/wave.py`` wraps it in ``custom_jvp``."""
+    (5 grid touches — 4.5 with a bf16 ``g``; ``u_prev`` aliased in place
+    to ``u_next``). ``g`` is the single friction field γ·dt (f32 or bf16,
+    upcast in-register; (1−g) and 1/(1+g) are recomputed per element).
+    Raw kernel; ``ops/wave.py`` wraps it in ``custom_jvp``."""
     D, H, W = u.shape
-    T = q_step_tile(u.shape, order, u.dtype.itemsize)
+    T = q_step_tile(u.shape, order, u.dtype.itemsize,
+                    jnp.dtype(g.dtype).itemsize)
     if T is None:
         raise ValueError(f"no VMEM-feasible slab tile for shape {u.shape}")
     hw = len(_D2_COEFFS[order][1])
@@ -1172,7 +1228,7 @@ def fused_q_step(u_prev, u, c2dt2, om1g, inv1pg, spz, sy, sx, s_t, src_idx,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            vspec, vspec, vspec, vspec,
+            vspec, vspec, vspec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=vspec,
@@ -1182,5 +1238,7 @@ def fused_q_step(u_prev, u, c2dt2, om1g, inv1pg, spz, sy, sx, s_t, src_idx,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         input_output_aliases={} if interpret else {5: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_Q_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, sidx, spz, sy, sx, u_prev, c2dt2, om1g, inv1pg, u)
+    )(scal, sidx, spz, sy, sx, u_prev, c2dt2, g, u)

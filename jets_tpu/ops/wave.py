@@ -261,7 +261,7 @@ def _scan_remat(step, carry, xs, remat_blocks: int):
 
 def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
                remat_blocks, order: int = 2, src_mask=None, extract=None,
-               fused=None):
+               fused=None, wavefield_sharding=None):
     """Leapfrog time stepping; returns receiver traces (nt, nrcv).
 
     ``remat_blocks`` groups time steps into checkpointed segments so
@@ -278,6 +278,14 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     doesn't fit (custom src_mask, non-f32, unaligned minor dims). Callers
     that vmap this function (multishot) must pass ``fused=False`` — the
     kernel's manual DMAs don't batch.
+
+    ``wavefield_sharding`` (a ``NamedSharding``) constrains the scan-carry
+    wavefields so the GRID AXIS of the model shards over the mesh — the
+    "model larger than one chip's HBM" axis of BASELINE config #5: under
+    ``jit``, XLA/GSPMD partitions the whole leapfrog and inserts the
+    stencil's halo exchanges as collective-permutes over ICI. Incompatible
+    with ``fused`` (a Pallas call is a manual-partition black box): grid
+    sharding rides the XLA step.
     """
     shape = c.shape
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
@@ -302,7 +310,8 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         extract = lambda u: u.reshape(-1)[rcv_idx]  # noqa: E731
     amp = jnp.asarray(dt * dt, c.dtype)
 
-    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    can_fuse = (wavefield_sharding is None and iota_src
+                and isinstance(sponge, tuple) and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_wave_pallas
 
@@ -312,7 +321,8 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     elif fused and not can_fuse:
         raise ValueError(
             "fused wave step requires a 3-D f32 grid with aligned minor "
-            "dims and the default on-grid source/receivers"
+            "dims, the default on-grid source/receivers, and no "
+            "wavefield_sharding (grid sharding rides the XLA step)"
         )
 
     if fused:
@@ -381,6 +391,11 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     # source mask is per-shot data)
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
+    if wavefield_sharding is not None:
+        # pin the scan-carry sharding so GSPMD keeps the wavefields
+        # grid-sharded through the whole loop (the constraint on the
+        # initial carry propagates; without it XLA may replicate)
+        u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
 
     if fused:
         # Fused-kernel path: unroll TWO time steps per scan iteration. The
@@ -413,7 +428,8 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
 
 
 def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
-                    order: int = 2, store: str = "int8", fused=None):
+                    order: int = 2, store: str = "int8", fused=None,
+                    wavefield_sharding=None):
     """Adjoint-state gradient ``(∂F/∂c)ᵀ dd`` with a STORED forward-
     wavefield history — the TPU-native equivalent of JetPackWaveFD's
     production imaging path, where the forward wavefield is serialized
@@ -486,7 +502,13 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
             f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
         )
 
-    u0 = jnp.zeros(shape, dtype)
+    # seed zeros with a src-derived term so their varying/batching type
+    # already matches the scan outputs under shard_map/vmap (same trick
+    # as _propagate's carry seeding)
+    zero = (src_idx * 0).astype(dtype)
+    u0 = jnp.zeros(shape, dtype) + zero
+    if wavefield_sharding is not None:
+        u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
     nt = int(src_wavelet.shape[0])
 
     def inject(row):
@@ -498,7 +520,8 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     dd_shift = jnp.concatenate(
         [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
 
-    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    can_fuse = (wavefield_sharding is None and iota_src
+                and isinstance(sponge, tuple) and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_adjoint_pallas, fits_wave_pallas
 
@@ -582,8 +605,8 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         xsr = tuple(
             a.reshape((nt2 // 2, 2) + a.shape[1:])
             for a in (hist_r, scales_r, grec_r))
-        carry0 = (inject(dd[-1]), jnp.zeros(shape, dtype),
-                  jnp.zeros(shape, dtype))
+        carry0 = (inject(dd[-1]), jnp.zeros(shape, dtype) + zero,
+                  jnp.zeros(shape, dtype) + zero)
         (_, _, gc2), _ = lax.scan(bpair, carry0, xsr, reverse=True)
         return gc2 * (2.0 * c) * jnp.asarray((dt * dt) / (dx * dx), dtype)
 
@@ -608,8 +631,7 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
                - ebar_nxt) + inject(grec_prev)
         return (a_k, ebar, gc2), None
 
-    carry0 = (inject(dd[-1]), jnp.zeros(shape, dtype),
-              jnp.zeros(shape, dtype))
+    carry0 = (inject(dd[-1]), u0, u0)
     (_, _, gc2), _ = lax.scan(bstep, carry0, (hist, scales, dd_shift),
                               reverse=True)
     return gc2 * (2.0 * c) * jnp.asarray((dt * dt) / (dx * dx), dtype)
@@ -631,9 +653,17 @@ def wave_propagator(
     fused=None,
     dtrec: Optional[float] = None,
     store_adjoint: Optional[str] = None,
+    wavefield_sharding=None,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward-modeling operator ``F: velocity c → traces d``.
+
+    ``wavefield_sharding`` (a ``jax.sharding.NamedSharding``) grid-shards
+    the propagating wavefields (and the stored adjoint history) over a
+    device mesh — the model-larger-than-one-chip axis: place the velocity
+    with the same sharding and jit; XLA/GSPMD partitions the leapfrog and
+    inserts the stencil halo exchanges. Rides the XLA step (incompatible
+    with ``fused``).
 
     ``fused`` controls the Pallas fused-step fast path for 3-D grids
     (``None`` = auto on TPU; see :func:`_propagate`).
@@ -657,6 +687,11 @@ def wave_propagator(
     """
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
+    if fused and wavefield_sharding is not None:
+        raise ValueError(
+            "wavefield_sharding rides the XLA step; fused=True is "
+            "incompatible (a Pallas call cannot be GSPMD-partitioned)"
+        )
     if fused:
         from .pallas_wave import fits_adjoint_pallas, fits_wave_pallas
 
@@ -688,6 +723,7 @@ def wave_propagator(
             c, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"],
             remat_blocks=remat_blocks, order=space_order, fused=fused,
+            wavefield_sharding=wavefield_sharding,
         )
         return _resample(traces) if _resample is not None else traces
 
@@ -716,7 +752,9 @@ def wave_propagator(
             return _adjoint_stored(
                 m0, dd, state["wavelet"], state["src_idx"],
                 state["rcv_idx"], dt=dt, dx=dx, sponge=state["sponge"],
-                order=space_order, store=store_adjoint, fused=fused,
+                order=space_order, store=store_adjoint,
+                fused=False if wavefield_sharding is not None else fused,
+                wavefield_sharding=wavefield_sharding,
             )
 
     j = Jet(
@@ -764,6 +802,7 @@ def multishot_wave_operator(
     window_corners=None,
     window_shape: Optional[Sequence[int]] = None,
     dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     mesh=None,
     axis: str = "block",
     shot_map: str = "vmap",
@@ -793,6 +832,13 @@ def multishot_wave_operator(
     update back through the transposed slice (a ``dynamic_update_slice``
     scatter-add, derived — not hand-written — via ``linear_transpose``),
     so gradient accumulation over overlapping windows is exact.
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} switches the
+    per-shot adjoint from autodiff to the stored-wavefield sweep
+    (:func:`_adjoint_stored`) — with ``shot_map="map"`` each shot then
+    rides the fused Pallas forward AND reverse kernels, the production
+    FWI/RTM gradient path (shot contributions still accumulate via the
+    stacked psum, the reference's block-adjoint loop).
     """
     from ..parallel.sharded import stacked_block_operator
 
@@ -859,10 +905,43 @@ def multishot_wave_operator(
         _, tangent = jax.jvp(lambda c: shot_f(c, bs), (c0,), (dc,))
         return tangent
 
-    # NO per-shot dft: an autodiff vjp inside the shard would already psum
-    # over the block axis (transpose of the implicit pvary of the replicated
-    # model), and the stacked adjoint's psum would double-count. The adjoint
-    # is the jet-level linear transpose of the WHOLE sharded tangent.
+    # Default: NO per-shot dft — an autodiff vjp inside the shard would
+    # already psum over the block axis (transpose of the implicit pvary of
+    # the replicated model), and the stacked adjoint's psum would
+    # double-count. The adjoint is the jet-level linear transpose of the
+    # WHOLE sharded tangent. With store_adjoint, the per-shot dft is the
+    # EXPLICIT stored-wavefield sweep (no inner vjp, no implicit psum —
+    # the stacked psum is then correct, not double-counted).
+    shot_dft = None
+    if store_adjoint is not None:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def shot_dft(d_b, m0, bs):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (d_b,) = rvjp(d_b)
+            c = m0
+            if window_shape is not None:
+                starts = tuple(bs["corner"][i]
+                               for i in range(len(prop_shape)))
+                c = lax.dynamic_slice(c, starts, prop_shape)
+            g = _adjoint_stored(
+                c, d_b, bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
+                store=store_adjoint,
+                fused=None if shot_map == "map" else False,
+            )
+            if window_shape is not None:
+                g = lax.dynamic_update_slice(
+                    jnp.zeros(grid_shape, dtype), g, starts)
+            return g
+
     bstate = {"src": src_indices}
     if window_shape is not None:
         bstate["corner"] = window_corners
@@ -874,6 +953,7 @@ def multishot_wave_operator(
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,
         df=shot_df,
+        dft=shot_dft,
         mesh=mesh,
         axis=axis,
         shot_map=shot_map,
@@ -1326,18 +1406,33 @@ def vdq_wave_propagator(
 
 
 def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
-                 order: int = 2, remat_blocks: int = 1, fused=None):
+                 order: int = 2, remat_blocks: int = 1, fused=None,
+                 coeff_dtype=None):
     """Leapfrog with Kosloff constant-Q friction; returns (nt, nrcv).
-    ``fused=True`` opts into the Pallas attenuating step
-    (``pallas_wave.fused_q_step``); ``None``/``False`` select the XLA step
-    — the kernel is OPT-IN because it measured slower in the real scan
-    (777 vs 525 µs/step, 256³ f32 TPU v5e; see the comment below). Callers
-    that vmap this must pass ``fused=False``."""
+    ``fused`` selects the Pallas attenuating step
+    (``pallas_wave.fused_q_step``) — the round-4 single-g-field kernel
+    (the round-3 two-field version measured slower than XLA in-loop;
+    see ``pallas_wave.py``). ``None`` = auto on TPU in the 3-D regime
+    ONLY with ``coeff_dtype=jnp.bfloat16`` (the measured-winning config:
+    470 vs 525 µs/step; f32 g measured 618 and stays opt-in).
+    ``coeff_dtype=jnp.bfloat16`` streams the friction field g = γ·dt at
+    half width (straight-through rounding, as in the TTI coefficient
+    mode). Callers that vmap this must pass ``fused=False``."""
     import math
 
     shape = c.shape
     c2dt2 = (c * c) * (dt * dt) / (dx * dx)
     g = (math.pi * f0 * dt) / q                  # gamma·dt, full-grid field
+    coeff16 = (coeff_dtype is not None
+               and jnp.dtype(coeff_dtype) == jnp.bfloat16)
+    kg = None
+    if coeff16:
+        # straight-through bf16 rounding of g via reduce_precision (an
+        # astype round-trip is elided under xla_allow_excess_precision —
+        # see _propagate_tti3d)
+        g16 = lax.reduce_precision(lax.stop_gradient(g), 8, 7)
+        kg = g16.astype(jnp.bfloat16)
+        g = g + lax.stop_gradient(g16 - g)
     inv1pg = 1.0 / (1.0 + g)
     om1g = 1.0 - g
 
@@ -1356,19 +1451,16 @@ def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
     if can_fuse:
         from .pallas_wave import fits_q_pallas
 
-        can_fuse = fits_q_pallas(shape, c.dtype, order)
+        can_fuse = fits_q_pallas(shape, c.dtype, order,
+                                 2 if coeff16 else 4)
     if fused is None:
-        # MEASURED (256³ f32, TPU v5e, marginal over two nt budgets): the
-        # fused Q kernel LOSES in the real scan — 777 vs 525 µs/step.
-        # XLA fuses the single-field attenuating body well, and the two
-        # extra coefficient fields force the kernel's slab tile down to
-        # T=2 (vs T=4 for the isotropic kernel), paying DMA overhead per
-        # slab. Same lesson as the lap3d epilogue (CLAUDE.md): a kernel
-        # that is correct and roofline-capable standalone can lose
-        # in-body. Default is therefore the XLA step; the kernel stays
-        # available (and correctness-gated) as an opt-in for shapes where
-        # it may win.
-        fused = False
+        # MEASURED in-loop (256³ f32, TPU v5e, marginal over nt budgets):
+        # the single-g-field kernel at T=4 runs 618 µs/step with an f32 g
+        # (still behind the 525 µs XLA body — the g read + in-register
+        # divide don't pay for themselves at full width) but 470 µs with
+        # a bf16 g — the only fused-Q config that beats XLA. Auto-select
+        # therefore only in the bf16-coefficient mode; f32 stays opt-in.
+        fused = coeff16 and can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
         raise ValueError(
             "fused Q step requires a 3-D f32 grid with aligned minor dims"
@@ -1381,15 +1473,18 @@ def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
         spz = sponge[0][:, 0, 0]
         spy = sponge[1][0]
         spx = sponge[2][0]
+        kg_ = kg if kg is not None else g
 
         # every kernel/rule array is an explicit argument — see the iso
         # fused branch for why (rule closures over traced state leak
-        # through the remat checkpoint on TPU)
+        # through the remat checkpoint on TPU). kg_ is the kernel's
+        # (possibly bf16) friction field; the f32 arg g_ is its exact
+        # upcast, which the rule differentiates.
         @jax.custom_jvp
-        def step_core(u_prev, u, c2, og, ig, s_t, spz_, spy_, spx_,
+        def step_core(u_prev, u, c2, g_, s_t, kg__, spz_, spy_, spx_,
                       sidx, amp_):
             return fused_q_step(
-                u_prev, u, c2, og, ig, spz_, spy_, spx_, s_t, sidx, amp_,
+                u_prev, u, c2, kg__, spz_, spy_, spx_, s_t, sidx, amp_,
                 order=order, interpret=interp,
             )
 
@@ -1401,18 +1496,19 @@ def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
                    spx_.reshape(1, 1, -1))
             mask = _iota_src_mask(shape, sidx, amp_)
 
-            def xla_step(up, u, c2, og, ig, s_t):
+            def xla_step(up, u, c2, g_, s_t):
                 lap = _laplacian(u, order=order)
                 return _mul_sponge(
-                    (2.0 * u - og * up + c2 * lap) * ig, spf
+                    (2.0 * u - (1.0 - g_) * up + c2 * lap)
+                    * (1.0 / (1.0 + g_)), spf
                 ) + s_t * mask
 
-            _, dout = jax.jvp(xla_step, primals[:6], tangents[:6])
+            _, dout = jax.jvp(xla_step, primals[:5], tangents[:5])
             return out, dout
 
         def one_step(carry, s_t):
             u_prev, u = carry
-            u_next = step_core(u_prev, u, c2dt2, om1g, inv1pg, s_t,
+            u_next = step_core(u_prev, u, c2dt2, g, s_t, kg_,
                                spz, spy, spx, src_idx, amp)
             rec = u_next.reshape(-1)[rcv_idx]
             return (u, u_next), rec
@@ -1467,10 +1563,16 @@ def q_wave_propagator(
     remat_blocks: int = 1,
     fused=None,
     dtrec: Optional[float] = None,
+    coeff_dtype=None,
     dtype=jnp.float32,
 ) -> Operator:
     """Two-parameter visco-acoustic forward modeling ``F: (c, Q) → traces``
     — the attenuation physics of JetPackWaveFD's DenQ propagators.
+    ``coeff_dtype=jnp.bfloat16`` streams the friction field g = γ·dt at
+    half width AND auto-enables the fused Pallas attenuating step on TPU
+    (measured 470 vs 525 µs/step at 256³ — the only fused-Q config that
+    beats the XLA body; with an f32 g the kernel is opt-in ``fused=True``
+    and measured 618 µs).
 
     Domain: ``BlockSpace([grid, grid])`` holding velocity ``c`` and the
     quality factor ``Q`` (dimensionless; smaller Q = stronger absorption;
@@ -1485,16 +1587,22 @@ def q_wave_propagator(
 
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
+    if coeff_dtype is not None and jnp.dtype(coeff_dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError("coeff_dtype must be float32 or bfloat16")
+    coeff_isz = (2 if coeff_dtype is not None
+                 and jnp.dtype(coeff_dtype) == jnp.bfloat16 else 4)
     if fused:
         # eager feasibility check, mirroring vti/tti_wave_propagator: an
         # infeasible shape should raise HERE, not at first application
         # deep inside jit tracing (ADVICE r3)
         from .pallas_wave import fits_q_pallas
 
-        if not fits_q_pallas(grid_shape, dtype, space_order):
+        if not fits_q_pallas(grid_shape, dtype, space_order, coeff_isz):
             raise ValueError(
                 "fused Q step requires a 3-D f32 grid with "
-                "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+                "lane/sublane-aligned minor dims (W%128==0, H%8==0; "
+                "H%16==0 for a bf16 friction field)"
             )
     gsp = Space(grid_shape, dtype)
     dom = BlockSpace([gsp, gsp])
@@ -1514,7 +1622,7 @@ def q_wave_propagator(
         traces = _propagate_q(
             c, q, state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, f0=f0, sponge=state["sponge"], order=space_order,
-            remat_blocks=remat_blocks, fused=fused,
+            remat_blocks=remat_blocks, fused=fused, coeff_dtype=coeff_dtype,
         )
         return _resample(traces) if _resample is not None else traces
 

@@ -58,3 +58,94 @@ def test_3d_grid_sharded_cgls():
               maxiter=15, tol=0.0)
     np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_grid_sharded_wave_propagator_parity_and_halo():
+    """GRID-AXIS sharding of the 3-D wave propagator (the model-larger-
+    than-one-chip axis of BASELINE config #5): with the velocity and the
+    scan-carry wavefields sharded over a 'grid' mesh axis, XLA/GSPMD
+    partitions the leapfrog — forward, autodiff gradient AND the stored
+    int8 adjoint match the unsharded run, and the compiled forward
+    actually contains halo-exchange collectives (not a replicated
+    fallback)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jets_tpu.ops.wave import wave_propagator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    shape = (16, 8, 16)
+    mesh = make_block_mesh(8, axis="grid")  # Auto axes: GSPMD-inferred
+    ws = NamedSharding(mesh, P("grid"))
+    src = int(np.ravel_multi_index((8, 4, 8), shape))
+    rcv = jnp.asarray([np.ravel_multi_index((8, 4, x), shape)
+                       for x in range(16)], jnp.int32)
+    kw = dict(nt=14, dt=8e-4, dx=10.0, freq=18.0, src_idx=src,
+              rcv_idx=rcv, sponge_width=3, dtype=jnp.float32)
+    F0 = wave_propagator(shape, **kw)
+    Fs = wave_propagator(shape, wavefield_sharding=ws, **kw)
+    with pytest.raises(ValueError, match="wavefield_sharding"):
+        wave_propagator(shape, fused=True, wavefield_sharding=ws, **kw)
+
+    c_host = jnp.full(shape, 1500.0, jnp.float32) + 20.0 * \
+        jax.random.normal(jax.random.PRNGKey(9), shape, jnp.float32)
+    c_sh = jax.device_put(c_host, ws)
+
+    fwd = jax.jit(lambda c: Fs(c))
+    d_sh = fwd(c_sh)
+    d0 = F0(c_host)
+    assert float(jnp.max(jnp.abs(d0))) > 0.0, "vacuous"
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d0),
+                               rtol=2e-6, atol=1e-30)
+
+    # the compiled partitioned program must move halos, not replicate:
+    # look for halo-exchange collectives in the optimized HLO
+    txt = fwd.lower(c_sh).compile().as_text()
+    assert ("collective-permute" in txt or "all-gather" in txt), \
+        "no halo-exchange collectives — wavefield silently replicated?"
+
+    # autodiff gradient through the sharded scan
+    g_sh = jax.jit(jax.grad(lambda c: jnp.sum(Fs(c) ** 2)))(c_sh)
+    g0 = jax.grad(lambda c: jnp.sum(F0(c) ** 2))(c_host)
+    scale = float(jnp.max(jnp.abs(g0)))
+    assert scale > 0.0
+    np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                               np.asarray(g0) / scale, rtol=0, atol=1e-5)
+
+    # stored-wavefield adjoint with a grid-sharded history
+    Fss = wave_propagator(shape, wavefield_sharding=ws,
+                          store_adjoint="f32", **kw)
+    F0s = wave_propagator(shape, store_adjoint="f32", **kw)
+    d = F0.rng.randn(jax.random.PRNGKey(10)).astype(jnp.float32)
+    a_sh = jax.jit(lambda dd: Fss.linearize(c_sh).H(dd))(d)
+    a0 = F0s.linearize(c_host).H(d)
+    s2 = float(jnp.max(jnp.abs(a0)))
+    assert s2 > 0.0
+    np.testing.assert_allclose(np.asarray(a_sh) / s2,
+                               np.asarray(a0) / s2, rtol=0, atol=1e-5)
+
+
+def test_grid_sharded_multishot_block_by_grid():
+    """2-D mesh: shots over 'block' × model grid over 'grid' for the full
+    wave multishot (vmap path, GSPMD-partitioned) — forward and derived
+    adjoint match unsharded."""
+    from jets_tpu.ops.wave import multishot_wave_operator
+
+    grid = (16, 16)
+    srcs = jnp.array([16 * 8 + 2, 16 * 8 + 6, 16 * 8 + 10, 16 * 8 + 13])
+    kw = dict(nt=12, dt=8e-4, dx=10.0, freq=18.0, sponge_width=3,
+              dtype=jnp.float32)
+    F = multishot_wave_operator(grid, srcs, **kw)  # vmap path, no mesh
+    mesh2 = make_mesh_2d(4, 2)
+    c = jnp.full(grid, 1500.0, jnp.float32)
+    c_sh = shard_model(c, mesh2)
+    d0 = F(c)
+    assert float(jnp.max(jnp.abs(d0))) > 0.0
+    d_sh = jax.jit(lambda cc: F(cc))(c_sh)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d0),
+                               rtol=2e-6, atol=1e-30)
+    J = F.linearize(c)
+    a0 = J.H(d0)
+    a_sh = jax.jit(lambda dd: F.linearize(c_sh).H(dd))(shard_data(d0, mesh2))
+    s = float(jnp.max(jnp.abs(a0)))
+    np.testing.assert_allclose(np.asarray(a_sh) / s, np.asarray(a0) / s,
+                               rtol=0, atol=1e-5)

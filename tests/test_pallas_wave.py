@@ -410,15 +410,18 @@ def test_fused_tti_odd_nt_and_gating():
 
 
 def test_fused_q_step_bit_exact_order2():
-    """Kernel vs the jitted XLA attenuating update (exact tree at order 2)."""
+    """Kernel vs the jitted XLA attenuating update (exact tree at order 2;
+    the kernel recomputes (1−g)/(1/(1+g)) in-register from the single g
+    field — the same f32 ops as the precomputed coefficient arrays)."""
     from jets_tpu.ops.pallas_wave import fits_q_pallas, fused_q_step
 
     D, H, W = SHAPE
-    ks = jax.random.split(jax.random.PRNGKey(15), 5)
+    ks = jax.random.split(jax.random.PRNGKey(15), 4)
     up, u = (jax.random.normal(k, SHAPE, jnp.float32) for k in ks[:2])
     c2 = jax.random.uniform(ks[2], SHAPE, jnp.float32) + 0.5
-    og = 1.0 - 0.02 * jax.random.uniform(ks[3], SHAPE, jnp.float32)
-    ig = 1.0 / (1.0 + 0.02 * jax.random.uniform(ks[4], SHAPE, jnp.float32))
+    g = 0.02 * jax.random.uniform(ks[3], SHAPE, jnp.float32)
+    og = 1.0 - g
+    ig = 1.0 / (1.0 + g)
     sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
     sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
     sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
@@ -426,7 +429,7 @@ def test_fused_q_step_bit_exact_order2():
     src = 5 * H * W + 3 * W + 17
     assert fits_q_pallas(SHAPE, jnp.float32, 2)
 
-    out = fused_q_step(up, u, c2, og, ig, sz, sy.reshape(H, 1),
+    out = fused_q_step(up, u, c2, g, sz, sy.reshape(H, 1),
                        sx.reshape(1, W), s_t, src, amp,
                        order=2, interpret=True)
 
@@ -439,8 +442,28 @@ def test_fused_q_step_bit_exact_order2():
                 .reshape(SHAPE))
         return ((2.0 * u - og * up + c2 * lap) * ig) * sponge + s_t * mask
 
-    assert np.array_equal(np.asarray(out), np.asarray(xla(up, u, c2))), \
-        "order-2 fused Q step must be bit-exact vs the jitted XLA step"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla(up, u, c2)),
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 g: kernel upcast matches the XLA path on the same rounded field
+    gr = jax.lax.reduce_precision(g, 8, 7)
+    out16 = fused_q_step(up, u, c2, gr.astype(jnp.bfloat16), sz,
+                         sy.reshape(H, 1), sx.reshape(1, W), s_t, src, amp,
+                         order=2, interpret=True)
+
+    @jax.jit
+    def xla16(up, u, c2):
+        lap = laplacian_nd(u, order=2)
+        sponge = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(
+            1, 1, W)
+        mask = (jnp.zeros((D * H * W,), jnp.float32).at[src].set(amp)
+                .reshape(SHAPE))
+        return ((2.0 * u - (1.0 - gr) * up + c2 * lap)
+                * (1.0 / (1.0 + gr))) * sponge + s_t * mask
+
+    np.testing.assert_allclose(np.asarray(out16),
+                               np.asarray(xla16(up, u, c2)),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_fused_q_propagator_matches_xla_path():

@@ -1194,3 +1194,66 @@ class TestAnisotropicStaticQ:
             vti_wave_propagator((16, 8, 128), q=30.0, fused=True, **kw3)
         with pytest.raises(ValueError, match="static Q"):
             tti_wave_propagator((16, 8, 128), q=30.0, fused=True, **kw3)
+
+
+def test_multishot_stored_adjoint_matches_derived():
+    """Per-shot stored-wavefield adjoints through the stacked machinery:
+    the explicit child dft (summed + psum'd over shots) must match the
+    jet-level derived adjoint, unsharded and sharded, windowed or not."""
+    from jets_tpu.ops.wave import multishot_wave_operator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    grid = (20, 20)
+    srcs = jnp.array([20 * 5 + 5, 20 * 5 + 14, 20 * 14 + 5, 20 * 14 + 14])
+    kw = dict(nt=24, dt=0.0008, dx=10.0, freq=18.0, sponge_width=3,
+              dtype=jnp.float32)
+    c0 = jnp.full(grid, 1500.0, jnp.float32)
+
+    Fd = multishot_wave_operator(grid, srcs, **kw)
+    Fs = multishot_wave_operator(grid, srcs, store_adjoint="f32", **kw)
+    d = Fd.rng.randn(jax.random.PRNGKey(51)).astype(jnp.float32)
+    gd = np.asarray(Fd.linearize(c0).H(d))
+    gs = np.asarray(Fs.linearize(c0).H(d))
+    scale = float(np.max(np.abs(gd)))
+    assert scale > 0.0, "vacuous: zero adjoint"
+    np.testing.assert_allclose(gs / scale, gd / scale, rtol=1e-5, atol=1e-6)
+
+    # dot-product gate on the stored-adjoint operator
+    J = Fs.linearize(c0)
+    mm = J.dom.randn(jax.random.PRNGKey(52)).astype(jnp.float32)
+    dd = J.rng.randn(jax.random.PRNGKey(53)).astype(jnp.float32)
+    lhs, rhs = jt.dot_product_test(J, mm, dd)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+    # sharded (both shot_map modes): explicit child dft + stacked psum
+    if len(jax.devices()) >= 4:
+        for sm in ("vmap", "map"):
+            Fp = multishot_wave_operator(
+                grid, srcs, store_adjoint="f32", mesh=make_block_mesh(4),
+                shot_map=sm, **kw)
+            gp = np.asarray(Fp.linearize(c0).H(d))
+            np.testing.assert_allclose(gp / scale, gd / scale,
+                                       rtol=1e-5, atol=1e-6)
+
+    # ginsu windows: stored adjoint places contributions back through the
+    # transposed slice
+    corners = jnp.array([[0, 0], [0, 4], [4, 0], [4, 4]], jnp.int32)
+    wsrcs = jnp.array([16 * 8 + 8] * 4)
+    kww = dict(kw, window_shape=(16, 16), window_corners=corners)
+    Fwd = multishot_wave_operator(grid, wsrcs, **kww)
+    Fws = multishot_wave_operator(grid, wsrcs, store_adjoint="f32", **kww)
+    dw = Fwd.rng.randn(jax.random.PRNGKey(54)).astype(jnp.float32)
+    gwd = np.asarray(Fwd.linearize(c0).H(dw))
+    gws = np.asarray(Fws.linearize(c0).H(dw))
+    sw = float(np.max(np.abs(gwd)))
+    assert sw > 0.0
+    np.testing.assert_allclose(gws / sw, gwd / sw, rtol=1e-5, atol=1e-6)
+
+    # int8 storage: direction preserved
+    Fi = multishot_wave_operator(grid, srcs, store_adjoint="int8", **kw)
+    dres = Fd(c0 * 1.02) - Fd(c0)
+    gdi = np.asarray(Fd.linearize(c0).H(dres))
+    gsi = np.asarray(Fi.linearize(c0).H(dres))
+    cos = float(np.dot(gdi.ravel(), gsi.ravel())
+                / (np.linalg.norm(gdi) * np.linalg.norm(gsi) + 1e-30))
+    assert cos > 0.95, f"int8 multishot cosine {cos}"
