@@ -1945,6 +1945,179 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
     return traces
 
 
+def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
+                        dt, dx, sponge, order: int = 2, store: str = "int8",
+                        fused=None):
+    """Adjoint-state gradient ``(∂F/∂(c,ε,δ))ᵀ dd`` for the coupled
+    pseudo-acoustic VTI system with a STORED (encoded) two-field forward
+    history — the anisotropic sibling of :func:`_adjoint_stored`. The
+    reverse sweep is the hand-derived transpose of the coupled leapfrog
+    (``Lh``/``∂zz`` are self-adjoint under the zero boundary): with
+    ``ēp = S⊙ap₊``, ``ēq = S⊙aq₊``,
+
+        ap = Pᵀḡ + 2ēp + Lh(C·ah·ēp) + Lh(C·av·ēq) − ēp₊
+        aq =      2ēq + ∂zz(C·av·ēp) + ∂zz(C·ēq)  − ēq₊
+        gC  += (ah·Lh(p_k) + av·∂zz(q_k))⊙ēp + (av·Lh(p_k) + ∂zz(q_k))⊙ēq
+        gah += C·Lh(p_k)⊙ēp
+        gav += C·(∂zz(q_k)⊙ēp + Lh(p_k)⊙ēq)
+
+    (p_k, q_k read back from the stored history; C = c²dt²,
+    ah = 1+2ε, av = √(1+2δ); the model-block gradients follow by the
+    outer chain gc = 2c·dt²·gC, gε = 2·gah, gδ = gav/av).
+
+    ``fused`` runs the forward history sweep on the fused Pallas VTI
+    kernel (``None`` = auto on TPU); the reverse sweep is XLA (the fused
+    anisotropic reverse kernel is future work — this already removes the
+    rematerialization recompute and stores the two-field history at the
+    encoded width). Returns the (gc, gε, gδ) triple."""
+    shape = c.shape
+    nd = c.ndim
+    dtype = c.dtype
+    C = (c * c) * (dt * dt)
+    ah = 1.0 + 2.0 * eps
+    av = jnp.sqrt(1.0 + 2.0 * delta)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
+    size = 1
+    for s in shape:
+        size *= int(s)
+    iota_src = nd >= 3
+    amp = jnp.asarray(dt * dt, dtype)
+    if not iota_src:
+        dense_mask = (
+            jnp.zeros((size,), dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
+
+    def mask():
+        return (_iota_src_mask(shape, src_idx, amp) if iota_src
+                else dense_mask)
+
+    if store == "f32":
+        enc = lambda u: (u, jnp.ones((), dtype))                # noqa: E731
+        dec = lambda q, s: q                                    # noqa: E731
+    elif store == "bf16":
+        enc = lambda u: (u.astype(jnp.bfloat16),                # noqa: E731
+                         jnp.ones((), dtype))
+        dec = lambda q, s: q.astype(dtype)                      # noqa: E731
+    elif store == "int8":
+        def enc(u):
+            s = jnp.maximum(jnp.max(jnp.abs(u)),
+                            jnp.asarray(1e-30, dtype))
+            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
+
+        dec = lambda q, s: q.astype(dtype) * (s / 127.0)        # noqa: E731
+    else:
+        raise ValueError(
+            f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
+        )
+
+    def Lh(u):
+        out = _d2_axis(u, 1, inv_dx2, order)
+        for ax in range(2, nd):
+            out = out + _d2_axis(u, ax, inv_dx2, order)
+        return out
+
+    def Dz(u):
+        return _d2_axis(u, 0, inv_dx2, order)
+
+    zero = (src_idx * 0).astype(dtype)
+    u0 = jnp.zeros(shape, dtype) + zero
+    nt = int(src_wavelet.shape[0])
+
+    # ---- forward history sweep (both fields encoded per step) ----------
+    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_vti_pallas
+
+        can_fuse = fits_vti_pallas(shape, dtype, order)
+    if fused is None:
+        fused = can_fuse and jax.default_backend() != "cpu"
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused VTI stored-adjoint forward sweep requires a 3-D f32 "
+            "grid with lane/sublane-aligned minor dims"
+        )
+
+    if fused:
+        from .pallas_wave import fused_vti_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]
+        spy = sponge[1][0]
+        spx = sponge[2][0]
+
+        def fwd_one(carry, s_t):
+            p_prev, p, q_prev, q = carry
+            p_next, q_next = fused_vti_step(
+                p_prev, p, q_prev, q, C, ah, av, spz, spy, spx,
+                inv_dx2, s_t, src_idx, amp, order=order, interpret=interp)
+            return (p, p_next, q, q_next), (enc(p), enc(q))
+
+        def fwd_pair(carry, s_pair):
+            c1, h1 = fwd_one(carry, s_pair[0])
+            c2_, h2 = fwd_one(c1, s_pair[1])
+            return c2_, jax.tree_util.tree_map(
+                lambda a, b: jnp.stack((a, b)), h1, h2)
+
+        padf = nt % 2
+        wav = src_wavelet
+        if padf:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
+        (_, _, _, _), hists = lax.scan(fwd_pair, (u0, u0, u0, u0), xsf)
+        hists = jax.tree_util.tree_map(
+            lambda a: a.reshape((nt + padf,) + a.shape[2:])[:nt], hists)
+    else:
+        def fstep(carry, s_t):
+            p_prev, p, q_prev, q = carry
+            lh = Lh(p)
+            dzz = Dz(q)
+            e_p = 2.0 * p - p_prev + C * (ah * lh + av * dzz)
+            e_q = 2.0 * q - q_prev + C * (av * lh + dzz)
+            p_next = _mul_sponge(e_p, sponge) + s_t * mask()
+            q_next = _mul_sponge(e_q, sponge) + s_t * mask()
+            return (p, p_next, q, q_next), (enc(p), enc(q))
+
+        (_, _, _, _), hists = lax.scan(fstep, (u0, u0, u0, u0),
+                                       src_wavelet)
+    (ph, ps), (qh, qs) = hists
+
+    def inject(row):
+        return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
+                .reshape(shape))
+
+    dd = dd.astype(dtype)
+    dd_shift = jnp.concatenate(
+        [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    def bstep(carry, xs):
+        ap1, aq1, ebp1, ebq1, gC, gah, gav = carry
+        pq, psc, qq, qsc, grec_prev = xs
+        p_k = dec(pq, psc)
+        q_k = dec(qq, qsc)
+        ebp = _mul_sponge(ap1, sponge)
+        ebq = _mul_sponge(aq1, sponge)
+        lh_k = Lh(p_k)
+        dzz_k = Dz(q_k)
+        gC = gC + ((ah * lh_k + av * dzz_k) * ebp
+                   + (av * lh_k + dzz_k) * ebq)
+        gah = gah + (C * lh_k) * ebp
+        gav = gav + C * (dzz_k * ebp + lh_k * ebq)
+        ap = (2.0 * ebp + Lh(C * ah * ebp) + Lh(C * av * ebq)
+              - ebp1) + inject(grec_prev)
+        aq = (2.0 * ebq + Dz(C * av * ebp) + Dz(C * ebq)) - ebq1
+        return (ap, aq, ebp, ebq, gC, gah, gav), None
+
+    carry0 = (inject(dd[-1]), u0, u0, u0, u0, u0, u0)
+    (_, _, _, _, gC, gah, gav), _ = lax.scan(
+        bstep, carry0, (ph, ps, qh, qs, dd_shift), reverse=True)
+    gc = gC * (2.0 * c) * jnp.asarray(dt * dt, dtype)
+    geps = 2.0 * gah
+    gdelta = gav / av
+    return gc, geps, gdelta
+
+
 def vti_wave_propagator(
     grid_shape: Sequence[int],
     *,
@@ -1961,6 +2134,7 @@ def vti_wave_propagator(
     dtrec: Optional[float] = None,
     q=None,
     f0: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Three-parameter VTI anisotropic forward modeling
@@ -1978,7 +2152,13 @@ def vti_wave_propagator(
     reference family's VTI propagators. Static: Q is a modeling parameter,
     not part of the inversion domain (the jet still differentiates through
     (c, ε, δ)); a Q'ed propagator rides the XLA step (the fused kernel
-    takes no friction fields)."""
+    takes no friction fields).
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} switches the
+    adjoint from autodiff to the hand-derived STORED two-field-history
+    sweep (:func:`_adjoint_stored_vti`) — the anisotropic production
+    imaging path: no rematerialization recompute, history at the encoded
+    width, forward sweep on the fused kernel."""
     import math
 
     from ..core.blockspace import BlockSpace
@@ -2025,10 +2205,37 @@ def vti_wave_propagator(
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+        if q is not None:
+            raise ValueError(
+                "store_adjoint is not available with static Q (the "
+                "hand-derived sweep transposes the lossless system)"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (dd,) = rvjp(dd)
+            gc, geps, gdelta = _adjoint_stored_vti(
+                m0.getblock(0), m0.getblock(1), m0.getblock(2), dd,
+                state["wavelet"], state["src_idx"], state["rcv_idx"],
+                dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
+                store=store_adjoint, fused=fused,
+            )
+            return (dom.zeros().setblock(0, gc).setblock(1, geps)
+                    .setblock(2, gdelta))
 
     j = Jet(
         dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
@@ -2344,6 +2551,236 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
     return traces
 
 
+def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
+                          src_idx, rcv_idx, *, dt, dx, sponge,
+                          order: int = 2, store: str = "int8", fused=None,
+                          coeff_dtype=None):
+    """Adjoint-state gradient ``(∂F/∂(c,ε,δ,θ,φ))ᵀ dd`` for the 3-D
+    tilted-TI system with a STORED two-field history — the TTI sibling of
+    :func:`_adjoint_stored_vti`. Every rotated derivative (∂ᵢᵢ and the
+    composed-first-difference ∂ᵢⱼ) is self-adjoint under the zero
+    boundary, so the reverse sweep transposes term by term:
+
+        ap = Pᵀḡ + 2ēp + Hᵀ(C·ah·ēp) + Hᵀ(C·av·ēq) − ēp₊
+        aq =      2ēq + Vᵀ(C·av·ēp) + Vᵀ(C·ēq)   − ēq₊
+
+    with ``Hᵀ(w) = Σ_d D_d(κ_d·w)`` (coefficients move inside). The six
+    direction-coefficient gradients fold immediately into the THREE
+    axis-component accumulators (per derivative label d:
+    ``δc_d = C·[(av·q_d − ah·p_d)ēp + (q_d − av·p_d)ēq]``), then chain
+    through n = (cosθ, sinθcosφ, sinθsinφ) to (gθ, gφ).
+
+    ``fused`` runs the forward history sweep on the fused Pallas TTI
+    kernel; ``coeff_dtype=jnp.bfloat16`` applies the SAME straight-through
+    coefficient rounding as the forward (gradients consistent with the
+    rounded primal). Returns (gc, gε, gδ, gθ, gφ)."""
+    shape = c.shape
+    dtype = c.dtype
+    C = (c * c) * (dt * dt)
+    ah = 1.0 + 2.0 * eps
+    av = jnp.sqrt(1.0 + 2.0 * delta)
+    nz = jnp.cos(theta)
+    st = jnp.sin(theta)
+    ny = st * jnp.cos(phi)
+    nx = st * jnp.sin(phi)
+    coeff16 = (coeff_dtype is not None
+               and jnp.dtype(coeff_dtype) == jnp.bfloat16)
+    av_raw = av  # the δ chain differentiates the UNROUNDED √(1+2δ)
+    kc = None
+    if coeff16:
+        def _r16(x):
+            return lax.reduce_precision(lax.stop_gradient(x), 8, 7)
+
+        kc = tuple(_r16(x).astype(jnp.bfloat16)
+                   for x in (ah, av, nz, ny, nx))
+
+        def _st16(x):
+            return x + lax.stop_gradient(_r16(x) - x)
+
+        ah, av, nz, ny, nx = (_st16(x) for x in (ah, av, nz, ny, nx))
+    czz, cyy, cxx = nz * nz, ny * ny, nx * nx
+    czy, czx, cyx = 2.0 * nz * ny, 2.0 * nz * nx, 2.0 * ny * nx
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
+    inv_dx = jnp.asarray(1.0 / dx, dtype)
+    size = 1
+    for s in shape:
+        size *= int(s)
+    amp = jnp.asarray(dt * dt, dtype)
+
+    if store == "f32":
+        enc = lambda u: (u, jnp.ones((), dtype))                # noqa: E731
+        dec = lambda q, s: q                                    # noqa: E731
+    elif store == "bf16":
+        enc = lambda u: (u.astype(jnp.bfloat16),                # noqa: E731
+                         jnp.ones((), dtype))
+        dec = lambda q, s: q.astype(dtype)                      # noqa: E731
+    elif store == "int8":
+        def enc(u):
+            s = jnp.maximum(jnp.max(jnp.abs(u)),
+                            jnp.asarray(1e-30, dtype))
+            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
+
+        dec = lambda q, s: q.astype(dtype) * (s / 127.0)        # noqa: E731
+    else:
+        raise ValueError(
+            f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
+        )
+
+    def _dij(u, i, j):
+        return _d1_axis(_d1_axis(u, i, inv_dx, order), j, inv_dx, order)
+
+    def derivs(u):
+        return (_d2_axis(u, 0, inv_dx2, order),
+                _d2_axis(u, 1, inv_dx2, order),
+                _d2_axis(u, 2, inv_dx2, order),
+                _dij(u, 0, 1), _dij(u, 0, 2), _dij(u, 1, 2))
+
+    def H_of(d6):
+        uzz, uyy, uxx, uzy, uzx, uyx = d6
+        return ((1.0 - czz) * uzz + (1.0 - cyy) * uyy + (1.0 - cxx) * uxx
+                - czy * uzy - czx * uzx - cyx * uyx)
+
+    def V_of(d6):
+        uzz, uyy, uxx, uzy, uzx, uyx = d6
+        return (czz * uzz + cyy * uyy + cxx * uxx
+                + czy * uzy + czx * uzx + cyx * uyx)
+
+    def HT(w):
+        return (_d2_axis((1.0 - czz) * w, 0, inv_dx2, order)
+                + _d2_axis((1.0 - cyy) * w, 1, inv_dx2, order)
+                + _d2_axis((1.0 - cxx) * w, 2, inv_dx2, order)
+                - _dij(czy * w, 0, 1) - _dij(czx * w, 0, 2)
+                - _dij(cyx * w, 1, 2))
+
+    def VT(w):
+        return (_d2_axis(czz * w, 0, inv_dx2, order)
+                + _d2_axis(cyy * w, 1, inv_dx2, order)
+                + _d2_axis(cxx * w, 2, inv_dx2, order)
+                + _dij(czy * w, 0, 1) + _dij(czx * w, 0, 2)
+                + _dij(cyx * w, 1, 2))
+
+    zero = (src_idx * 0).astype(dtype)
+    u0 = jnp.zeros(shape, dtype) + zero
+    nt = int(src_wavelet.shape[0])
+
+    # ---- forward history sweep ----------------------------------------
+    can_fuse = isinstance(sponge, tuple) and len(shape) == 3
+    if can_fuse:
+        from .pallas_wave import fits_tti_pallas
+
+        can_fuse = fits_tti_pallas(shape, dtype, order,
+                                   2 if coeff16 else 4)
+    if fused is None:
+        fused = can_fuse and jax.default_backend() != "cpu"
+    elif fused and not can_fuse:
+        raise ValueError(
+            "fused TTI stored-adjoint forward sweep requires a 3-D f32 "
+            "grid with lane/sublane-aligned minor dims"
+        )
+
+    if fused:
+        from .pallas_wave import fused_tti_step
+
+        interp = jax.default_backend() == "cpu"
+        spz = sponge[0][:, 0, 0]
+        spy = sponge[1][0]
+        spx = sponge[2][0]
+        kc5 = kc if kc is not None else (ah, av, nz, ny, nx)
+
+        def fwd_one(carry, s_t):
+            p_prev, p, q_prev, q = carry
+            p_next, q_next = fused_tti_step(
+                p_prev, p, q_prev, q, C, *kc5, spz, spy, spx,
+                inv_dx2, inv_dx, s_t, src_idx, amp,
+                order=order, interpret=interp)
+            return (p, p_next, q, q_next), (enc(p), enc(q))
+
+        def fwd_pair(carry, s_pair):
+            c1, h1 = fwd_one(carry, s_pair[0])
+            c2_, h2 = fwd_one(c1, s_pair[1])
+            return c2_, jax.tree_util.tree_map(
+                lambda a, b: jnp.stack((a, b)), h1, h2)
+
+        padf = nt % 2
+        wav = src_wavelet
+        if padf:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
+        xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
+        (_, _, _, _), hists = lax.scan(fwd_pair, (u0, u0, u0, u0), xsf)
+        hists = jax.tree_util.tree_map(
+            lambda a: a.reshape((nt + padf,) + a.shape[2:])[:nt], hists)
+    else:
+        def mask():
+            return _iota_src_mask(shape, src_idx, amp) \
+                if c.ndim >= 3 else None
+
+        def fstep(carry, s_t):
+            p_prev, p, q_prev, q = carry
+            dp6 = derivs(p)
+            dq6 = derivs(q)
+            e_p = 2.0 * p - p_prev + C * (ah * H_of(dp6) + av * V_of(dq6))
+            e_q = 2.0 * q - q_prev + C * (av * H_of(dp6) + V_of(dq6))
+            p_next = _mul_sponge(e_p, sponge) + s_t * mask()
+            q_next = _mul_sponge(e_q, sponge) + s_t * mask()
+            return (p, p_next, q, q_next), (enc(p), enc(q))
+
+        (_, _, _, _), hists = lax.scan(fstep, (u0, u0, u0, u0),
+                                       src_wavelet)
+    (ph, ps), (qh, qs) = hists
+
+    def inject(row):
+        return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
+                .reshape(shape))
+
+    dd = dd.astype(dtype)
+    dd_shift = jnp.concatenate(
+        [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    def bstep(carry, xs):
+        ap1, aq1, ebp1, ebq1, gC, gah, gav, gnz, gny, gnx = carry
+        pq, psc, qq, qsc, grec_prev = xs
+        p_k = dec(pq, psc)
+        q_k = dec(qq, qsc)
+        ebp = _mul_sponge(ap1, sponge)
+        ebq = _mul_sponge(aq1, sponge)
+        dp6 = derivs(p_k)
+        dq6 = derivs(q_k)
+        Hp = H_of(dp6)
+        Vq = V_of(dq6)
+        gC = gC + ((ah * Hp + av * Vq) * ebp + (av * Hp + Vq) * ebq)
+        gah = gah + (C * Hp) * ebp
+        gav = gav + C * (Vq * ebp + Hp * ebq)
+        # six per-derivative coefficient contributions, folded straight
+        # into the three axis-component accumulators
+        dz_c = []
+        for p_d, q_d in zip(dp6, dq6):
+            dz_c.append(C * ((av * q_d - ah * p_d) * ebp
+                             + (q_d - av * p_d) * ebq))
+        dczz, dcyy, dcxx, dczy, dczx, dcyx = dz_c
+        gnz = gnz + (2.0 * nz * dczz + 2.0 * ny * dczy + 2.0 * nx * dczx)
+        gny = gny + (2.0 * ny * dcyy + 2.0 * nz * dczy + 2.0 * nx * dcyx)
+        gnx = gnx + (2.0 * nx * dcxx + 2.0 * nz * dczx + 2.0 * ny * dcyx)
+        ap = (2.0 * ebp + HT(C * ah * ebp) + HT(C * av * ebq)
+              - ebp1) + inject(grec_prev)
+        aq = (2.0 * ebq + VT(C * av * ebp) + VT(C * ebq)) - ebq1
+        return (ap, aq, ebp, ebq, gC, gah, gav, gnz, gny, gnx), None
+
+    carry0 = (inject(dd[-1]),) + (u0,) * 9
+    (_, _, _, _, gC, gah, gav, gnz, gny, gnx), _ = lax.scan(
+        bstep, carry0, (ph, ps, qh, qs, dd_shift), reverse=True)
+
+    gc = gC * (2.0 * c) * jnp.asarray(dt * dt, dtype)
+    geps = 2.0 * gah
+    gdelta = gav / av_raw   # straight-through: d√(1+2δ)/dδ at unrounded δ
+    # n = (cosθ, sinθ·cosφ, sinθ·sinφ)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    cph, sph = jnp.cos(phi), jnp.sin(phi)
+    gtheta = -sth * gnz + (cth * cph) * gny + (cth * sph) * gnx
+    gphi = (-sth * sph) * gny + (sth * cph) * gnx
+    return gc, geps, gdelta, gtheta, gphi
+
+
 def tti_wave_propagator(
     grid_shape: Sequence[int],
     *,
@@ -2361,9 +2798,16 @@ def tti_wave_propagator(
     q=None,
     f0: Optional[float] = None,
     coeff_dtype=None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """TTI anisotropic forward modeling — JetPackWaveFD's tilted-TI physics.
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} (3-D only) switches
+    the adjoint from autodiff to the hand-derived STORED two-field-history
+    sweep (:func:`_adjoint_stored_tti3d`): no rematerialization recompute,
+    history at the encoded width, forward sweep on the fused kernel, full
+    (gc, gε, gδ, gθ, gφ) tuple in one reverse pass.
 
     2-D: four-parameter ``F: (c, ε, δ, θ) → traces`` (tilt θ in the x-z
     plane). 3-D: five-parameter ``F: (c, ε, δ, θ, φ) → traces`` with
@@ -2455,10 +2899,46 @@ def tti_wave_propagator(
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+        if not three_d:
+            raise ValueError(
+                "store_adjoint on the TTI propagator is 3-D only (the "
+                "2-D tilt path keeps the autodiff adjoint)"
+            )
+        if q is not None:
+            raise ValueError(
+                "store_adjoint is not available with static Q (the "
+                "hand-derived sweep transposes the lossless system)"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (dd,) = rvjp(dd)
+            g5 = _adjoint_stored_tti3d(
+                m0.getblock(0), m0.getblock(1), m0.getblock(2),
+                m0.getblock(3), m0.getblock(4), dd,
+                state["wavelet"], state["src_idx"], state["rcv_idx"],
+                dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
+                store=store_adjoint, fused=fused,
+                coeff_dtype=coeff_dtype,
+            )
+            out = dom.zeros()
+            for b, g in enumerate(g5):
+                out = out.setblock(b, g)
+            return out
 
     j = Jet(
         dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
@@ -2485,6 +2965,7 @@ def multishot_vti_wave_operator(
     space_order: int = 2,
     remat_blocks: int = 1,
     dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     mesh=None,
     axis: str = "block",
     shot_map: str = "vmap",
@@ -2527,6 +3008,32 @@ def multishot_vti_wave_operator(
         _, tangent = jax.jvp(lambda m: shot_f(m, bs), (m0,), (dm,))
         return tangent
 
+    shot_dft = None
+    if store_adjoint is not None:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def shot_dft(d_b, m0, bs):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (d_b,) = rvjp(d_b)
+            g3 = _adjoint_stored_vti(
+                m0.getblock(0), m0.getblock(1), m0.getblock(2), d_b,
+                bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
+                store=store_adjoint,
+                fused=None if shot_map == "map" else False,
+            )
+            out = dom.zeros()
+            for b, g in enumerate(g3):
+                out = out.setblock(b, g)
+            return out
+
     return stacked_block_operator(
         nblocks=nshots,
         dom=dom,
@@ -2535,6 +3042,7 @@ def multishot_vti_wave_operator(
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,
         df=shot_df,
+        dft=shot_dft,
         mesh=mesh,
         axis=axis,
         shot_map=shot_map,
@@ -2554,6 +3062,7 @@ def multishot_tti_wave_operator(
     space_order: int = 2,
     remat_blocks: int = 1,
     dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     mesh=None,
     axis: str = "block",
     shot_map: str = "vmap",
@@ -2609,6 +3118,37 @@ def multishot_tti_wave_operator(
         _, tangent = jax.jvp(lambda m: shot_f(m, bs), (m0,), (dm,))
         return tangent
 
+    shot_dft = None
+    if store_adjoint is not None:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+        if not three_d:
+            raise ValueError(
+                "store_adjoint on the TTI multishot is 3-D only"
+            )
+
+        def shot_dft(d_b, m0, bs):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (d_b,) = rvjp(d_b)
+            g5 = _adjoint_stored_tti3d(
+                m0.getblock(0), m0.getblock(1), m0.getblock(2),
+                m0.getblock(3), m0.getblock(4), d_b,
+                bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, sponge=bs["sponge"], order=space_order,
+                store=store_adjoint,
+                fused=None if shot_map == "map" else False,
+            )
+            out = dom.zeros()
+            for b, g in enumerate(g5):
+                out = out.setblock(b, g)
+            return out
+
     return stacked_block_operator(
         nblocks=nshots,
         dom=dom,
@@ -2617,6 +3157,7 @@ def multishot_tti_wave_operator(
         sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
         f=shot_f,
         df=shot_df,
+        dft=shot_dft,
         mesh=mesh,
         axis=axis,
         shot_map=shot_map,

@@ -1257,3 +1257,219 @@ def test_multishot_stored_adjoint_matches_derived():
     cos = float(np.dot(gdi.ravel(), gsi.ravel())
                 / (np.linalg.norm(gdi) * np.linalg.norm(gsi) + 1e-30))
     assert cos > 0.95, f"int8 multishot cosine {cos}"
+
+
+class TestStoredAdjointVTI:
+    SHAPE3 = (12, 8, 128)
+    RCV3 = jnp.asarray(
+        [np.ravel_multi_index((6, 4, x), (12, 8, 128)) for x in range(128)],
+        jnp.int32)
+    KW3 = dict(nt=24, dt=6e-4, dx=10.0, freq=16.0,
+               src_idx=int(np.ravel_multi_index((6, 4, 64), (12, 8, 128))),
+               rcv_idx=RCV3, sponge_width=3, dtype=jnp.float32)
+    SHAPE2 = (24, 24)
+    KW2 = dict(nt=30, dt=8e-4, dx=10.0, freq=18.0, src_idx=12 * 24 + 12,
+               sponge_width=4, dtype=jnp.float32)
+
+    def _model(self, F, shape):
+        full = lambda v: jnp.full(shape, v, jnp.float32)  # noqa: E731
+        return (F.dom.zeros().setblock(0, full(1500.0))
+                .setblock(1, full(0.1)).setblock(2, full(0.05)))
+
+    @pytest.mark.parametrize("dim", ["2d", "3d"])
+    def test_f32_storage_matches_autodiff_adjoint(self, dim):
+        from jets_tpu.ops.wave import vti_wave_propagator
+
+        shape, kw = ((self.SHAPE2, self.KW2) if dim == "2d"
+                     else (self.SHAPE3, self.KW3))
+        Fa = vti_wave_propagator(shape, **kw)
+        Fs = vti_wave_propagator(shape, store_adjoint="f32", **kw)
+        m0 = self._model(Fa, shape)
+        d = Fa.rng.randn(jax.random.PRNGKey(61)).astype(jnp.float32)
+        ga = Fa.linearize(m0).H(d)
+        gs = Fs.linearize(m0).H(d)
+        for b in range(3):
+            a = np.asarray(ga.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=1e-5, atol=2e-5)
+
+    def test_dot_product_gate_and_lossy_direction(self):
+        from jets_tpu.ops.wave import vti_wave_propagator
+
+        Fs = vti_wave_propagator(self.SHAPE2, store_adjoint="f32",
+                                 **self.KW2)
+        m0 = self._model(Fs, self.SHAPE2)
+        J = Fs.linearize(m0)
+        mm = J.dom.randn(jax.random.PRNGKey(62))
+        dd = J.rng.randn(jax.random.PRNGKey(63)).astype(jnp.float32)
+        lhs, rhs = jt.dot_product_test(J, mm, dd)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+        # int8 history preserves the gradient direction on a physical
+        # residual (per block)
+        Fa = vti_wave_propagator(self.SHAPE2, **self.KW2)
+        Fi = vti_wave_propagator(self.SHAPE2, store_adjoint="int8",
+                                 **self.KW2)
+        d = Fa(self._model(Fa, self.SHAPE2).setblock(
+            0, jnp.full(self.SHAPE2, 1530.0, jnp.float32))) - Fa(m0)
+        _assert = float(jnp.max(jnp.abs(d)))
+        assert _assert > 0.0
+        ga = Fa.linearize(m0).H(d)
+        gi = Fi.linearize(m0).H(d)
+        for b in range(3):
+            a = np.asarray(ga.getblock(b)).ravel()
+            i = np.asarray(gi.getblock(b)).ravel()
+            cos = float(np.dot(a, i)
+                        / (np.linalg.norm(a) * np.linalg.norm(i) + 1e-30))
+            assert cos > 0.95, f"block {b} cosine {cos}"
+
+    def test_store_validation(self):
+        from jets_tpu.ops.wave import vti_wave_propagator
+
+        with pytest.raises(ValueError, match="store_adjoint"):
+            vti_wave_propagator(self.SHAPE2, store_adjoint="int4",
+                                **self.KW2)
+        with pytest.raises(ValueError, match="static Q"):
+            vti_wave_propagator(self.SHAPE2, store_adjoint="f32", q=50.0,
+                                **self.KW2)
+
+
+class TestStoredAdjointTTI3D:
+    SHAPE = (12, 8, 128)
+    RCV = jnp.asarray(
+        [np.ravel_multi_index((6, 4, x), (12, 8, 128)) for x in range(128)],
+        jnp.int32)
+    KW = dict(nt=24, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((6, 4, 64), (12, 8, 128))),
+              rcv_idx=RCV, sponge_width=3, dtype=jnp.float32)
+
+    def _model(self, F):
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m = F.dom.zeros()
+        for b, v in enumerate((1500.0, 0.1, 0.05, 0.2, 0.7)):
+            m = m.setblock(b, full(v))
+        return m
+
+    def test_f32_storage_matches_autodiff_adjoint(self):
+        from jets_tpu.ops.wave import tti_wave_propagator
+
+        Fa = tti_wave_propagator(self.SHAPE, **self.KW)
+        Fs = tti_wave_propagator(self.SHAPE, store_adjoint="f32",
+                                 **self.KW)
+        m0 = self._model(Fa)
+        d = Fa.rng.randn(jax.random.PRNGKey(71)).astype(jnp.float32)
+        ga = Fa.linearize(m0).H(d)
+        gs = Fs.linearize(m0).H(d)
+        for b in range(5):
+            a = np.asarray(ga.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=1e-4, atol=5e-5)
+
+    def test_bf16_coeff_mode_matches_autodiff(self):
+        """Stored sweep under the reduced-precision coefficient mode must
+        match autodiff through the SAME rounded primal."""
+        from jets_tpu.ops.wave import tti_wave_propagator
+
+        kw = dict(self.KW)
+        Fa = tti_wave_propagator(self.SHAPE, coeff_dtype=jnp.bfloat16,
+                                 **kw)
+        Fs = tti_wave_propagator(self.SHAPE, coeff_dtype=jnp.bfloat16,
+                                 store_adjoint="f32", **kw)
+        m0 = self._model(Fa)
+        d = Fa.rng.randn(jax.random.PRNGKey(72)).astype(jnp.float32)
+        ga = Fa.linearize(m0).H(d)
+        gs = Fs.linearize(m0).H(d)
+        for b in range(5):
+            a = np.asarray(ga.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=1e-4, atol=5e-5)
+
+    def test_gate_int8_direction_and_validation(self):
+        from jets_tpu.ops.wave import tti_wave_propagator
+
+        Fs = tti_wave_propagator(self.SHAPE, store_adjoint="f32",
+                                 **self.KW)
+        m0 = self._model(Fs)
+        J = Fs.linearize(m0)
+        mm = J.dom.randn(jax.random.PRNGKey(73))
+        dd = J.rng.randn(jax.random.PRNGKey(74)).astype(jnp.float32)
+        lhs, rhs = jt.dot_product_test(J, mm, dd)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+        Fa = tti_wave_propagator(self.SHAPE, **self.KW)
+        Fi = tti_wave_propagator(self.SHAPE, store_adjoint="int8",
+                                 **self.KW)
+        d = Fa(m0.setblock(0, jnp.full(self.SHAPE, 1530.0,
+                                       jnp.float32))) - Fa(m0)
+        assert float(jnp.max(jnp.abs(d))) > 0.0
+        ga = Fa.linearize(m0).H(d)
+        gi = Fi.linearize(m0).H(d)
+        for b in range(5):
+            a = np.asarray(ga.getblock(b)).ravel()
+            i = np.asarray(gi.getblock(b)).ravel()
+            cos = float(np.dot(a, i)
+                        / (np.linalg.norm(a) * np.linalg.norm(i) + 1e-30))
+            assert cos > 0.95, f"block {b} cosine {cos}"
+
+        with pytest.raises(ValueError, match="3-D only"):
+            tti_wave_propagator((24, 24), store_adjoint="f32", nt=8)
+        with pytest.raises(ValueError, match="static Q"):
+            tti_wave_propagator(self.SHAPE, store_adjoint="f32", q=50.0,
+                                **self.KW)
+
+
+def test_multishot_anisotropic_stored_adjoint_matches_derived():
+    """VTI/TTI multishot with per-shot stored sweeps: the explicit child
+    dft (+ stacked psum when sharded) matches the derived adjoint."""
+    from jets_tpu.ops.wave import (multishot_tti_wave_operator,
+                                   multishot_vti_wave_operator)
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    grid = (12, 8, 128)
+    rcv = jnp.asarray([np.ravel_multi_index((6, 4, x), grid)
+                       for x in range(128)], jnp.int32)
+    srcs = jnp.asarray([np.ravel_multi_index((6, 4, 40), grid),
+                        np.ravel_multi_index((6, 4, 88), grid)], jnp.int32)
+    kw = dict(nt=16, dt=6e-4, dx=10.0, freq=16.0, rcv_idx=rcv,
+              sponge_width=3, dtype=jnp.float32)
+    full = lambda v: jnp.full(grid, v, jnp.float32)  # noqa: E731
+
+    for make, nb, vals in (
+            (multishot_vti_wave_operator, 3, (1500.0, 0.1, 0.05)),
+            (multishot_tti_wave_operator, 5,
+             (1500.0, 0.1, 0.05, 0.2, 0.7))):
+        Fd = make(grid, srcs, **kw)
+        Fs = make(grid, srcs, store_adjoint="f32", **kw)
+        m0 = Fd.dom.zeros()
+        for b, v in enumerate(vals):
+            m0 = m0.setblock(b, full(v))
+        d = Fd.rng.randn(jax.random.PRNGKey(81)).astype(jnp.float32)
+        gd = Fd.linearize(m0).H(d)
+        gs = Fs.linearize(m0).H(d)
+        for b in range(nb):
+            a = np.asarray(gd.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0, f"vacuous block {b}"
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=1e-4, atol=5e-5)
+        # sharded map-mode
+        if len(jax.devices()) >= 2:
+            Fp = make(grid, srcs, store_adjoint="f32",
+                      mesh=make_block_mesh(2), shot_map="map", **kw)
+            gp = Fp.linearize(m0).H(d)
+            for b in range(nb):
+                a = np.asarray(gd.getblock(b))
+                p = np.asarray(gp.getblock(b))
+                scale = float(np.max(np.abs(a)))
+                np.testing.assert_allclose(p / scale, a / scale,
+                                           rtol=1e-4, atol=5e-5)
