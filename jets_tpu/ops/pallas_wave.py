@@ -934,9 +934,11 @@ def _adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk, a2_blk, gc2_blk,
 
 
 # swept in-loop at 256³ (r4, int8 gradient fwd+rev): adjoint T=2 →
-# 1417 µs/step, T=4 (budget 20/limit 32) → 1339 µs/step.
-_ADJ_VMEM_BUDGET = 20 * 2**20
-_ADJ_VMEM_LIMIT = 32 * 2**20
+# 1417 µs/step, T=4 (budget 20/limit 32) → 1339, T=8 (40/44) → 1313
+# (the per-slice compute keeps window temporaries ~2 MB, so the big
+# declared budget is safe).
+_ADJ_VMEM_BUDGET = 40 * 2**20
+_ADJ_VMEM_LIMIT = 44 * 2**20
 
 
 def adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
