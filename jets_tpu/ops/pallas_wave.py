@@ -58,7 +58,67 @@ __all__ = [
     "fused_tti_step", "tti_step_tile", "fits_tti_pallas",
     "fused_q_step", "q_step_tile", "fits_q_pallas",
     "fused_adjoint_step", "adjoint_step_tile", "fits_adjoint_pallas",
+    "fused_vti_adjoint_step", "vti_adjoint_step_tile",
+    "fits_vti_adjoint_pallas",
+    "fused_tti_adjoint_step", "tti_adjoint_step_tile",
+    "fits_tti_adjoint_pallas",
 ]
+
+
+def _ring_io(hbm, scr, sems, *, T, hw, nsl, H, W):
+    """Double-buffered slab DMA ring with zero-filled halos at the grid
+    top/bottom — the shared ring of every slab-pipelined kernel in this
+    module, factored out for the multi-ring adjoint kernels. Returns
+    ``(start, wait)`` taking ``(j, slot)``."""
+    P = T + 2 * hw
+
+    def center(j, sl):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(j * T, T)],
+            scr.at[pl.ds(sl * P + hw, T)], sems.at[sl, 0])
+
+    def front(j, sl):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(j * T - hw, hw)],
+            scr.at[pl.ds(sl * P, hw)], sems.at[sl, 1])
+
+    def back(j, sl):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(j * T + T, hw)],
+            scr.at[pl.ds(sl * P + hw + T, hw)], sems.at[sl, 2])
+
+    def start(j, sl):
+        center(j, sl).start()
+
+        @pl.when(j > 0)
+        def _():
+            front(j, sl).start()
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back(j, sl).start()
+
+    def wait(j, sl):
+        center(j, sl).wait()
+
+        @pl.when(j > 0)
+        def _():
+            front(j, sl).wait()
+
+        @pl.when(j == 0)
+        def _():
+            scr[pl.ds(sl * P, hw)] = jnp.zeros((hw, H, W), scr.dtype)
+
+        @pl.when(j < nsl - 1)
+        def _():
+            back(j, sl).wait()
+
+        @pl.when(j == nsl - 1)
+        def _():
+            scr[pl.ds(sl * P + hw + T, hw)] = jnp.zeros(
+                (hw, H, W), scr.dtype)
+
+    return start, wait
 
 
 def _wave_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk, c2_blk,
@@ -944,9 +1004,10 @@ _ADJ_VMEM_LIMIT = 44 * 2**20
 def adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
     """Largest z tile for the adjoint kernel: TWO f32 DMA rings (a_{k+1},
     c²dt²) + the history ring at its stored width + 4 blocked f32 arrays
-    double-buffered, within ~10 MB (headroom below the 12 MB forward-kernel
-    budget: this kernel's P-window temporaries — ē, c²ē, decoded u — are
-    larger than the forward kernels')."""
+    double-buffered, within ``_ADJ_VMEM_BUDGET`` (40 MB declared /
+    ``_ADJ_VMEM_LIMIT`` 44 MB scoped — the r4 in-loop sweep picked T=8 at
+    256³: 1313 µs vs 1339 at T=4 / 1417 at T=2; the per-slice compute
+    keeps window temporaries ~2 MB, so the big declared budget is safe)."""
     D, H, W = shape
     hw = len(_D2_COEFFS[order][1])
     for t in (8, 4, 2, 1):
@@ -1244,3 +1305,263 @@ def fused_q_step(u_prev, u, c2dt2, g, spz, sy, sx, s_t, src_idx,
             vmem_limit_bytes=_Q_VMEM_LIMIT),
         interpret=interpret,
     )(scal, sidx, spz, sy, sx, u_prev, c2dt2, g, u)
+
+
+# ---------------------------------------------------------------------------
+# Fused VTI ADJOINT (reverse-sweep) step — the anisotropic FWI gradient hot
+# path. ops/wave.py::_adjoint_stored_vti's reverse recurrence is, per
+# reverse step k (ēp = S ⊙ ap₁, ēq = S ⊙ aq₁, C = c²dt²),
+#
+#     gC  += (ah·Lh(p_k) + av·∂zz(q_k))⊙ēp + (av·Lh(p_k) + ∂zz(q_k))⊙ēq
+#     gah += C·Lh(p_k)⊙ēp
+#     gav += C·(∂zz(q_k)⊙ēp + Lh(p_k)⊙ēq)
+#     ap   = Pᵀḡ + 2ēp + Lh(C·ah·ēp) + Lh(C·av·ēq) − S⊙ap₂
+#     aq   =      2ēq + ∂zz(C·av·ēp) + ∂zz(C·ēq)  − S⊙aq₂
+#
+# which XLA runs as a heavily de-fused multi-pass body (measured 6824
+# µs/step at 256³ f32 — barely 1.26× over autodiff-remat). The structural
+# gift of the VTI split: Lh is HORIZONTAL-only and ∂zz VERTICAL-only, so
+# only the fields inside a ∂zz — ap₁, aq₁ (via ē), C, av and the ENCODED
+# q-history — need z halos (five DMA rings; the int8 q-history costs a
+# quarter-touch); ah, the p-history, both a₊₊ fields and the THREE
+# gradient accumulators ride blocked specs, with ap₂→ap, aq₂→aq and each
+# accumulator aliased in place. Touches per reverse step (int8 history):
+# 4 f32 rings + ¼ + ¼ + 6 blocked f32 reads + 5 writes ≈ 15.5 — the
+# physics minimum for this parameterization, ~1.3 ms at the 819 GB/s
+# roofline. The receiver injection Pᵀḡ stays an in-place XLA scatter on
+# the kernel's ap output (as in the isotropic adjoint).
+#
+# Bit-exactness contract at order 2 (gated by tests/test_pallas_wave.py):
+# the kernel reproduces the exact FP trees of _adjoint_stored_vti's XLA
+# bstep (_mul_sponge / _d2_axis / the accumulator and a-update sums), so
+# fused and XLA VTI stored-adjoints are interchangeable mid-inversion.
+# ---------------------------------------------------------------------------
+
+
+def _vti_adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk,
+                        ap2_blk, aq2_blk, gc_blk, gah_blk, gav_blk,
+                        ah_blk, p_blk,
+                        ap1_hbm, aq1_hbm, c_hbm, av_hbm, q_hbm,
+                        apo_blk, aqo_blk, gco_blk, gaho_blk, gavo_blk,
+                        ap1_scr, aq1_scr, c_scr, av_scr, q_scr,
+                        ap1_sems, aq1_sems, c_sems, av_sems, q_sems, *,
+                        T, D, H, W, order):
+    c0, cs = _D2_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw
+
+    rings = [
+        _ring_io(ap1_hbm, ap1_scr, ap1_sems, T=T, hw=hw, nsl=nsl, H=H, W=W),
+        _ring_io(aq1_hbm, aq1_scr, aq1_sems, T=T, hw=hw, nsl=nsl, H=H, W=W),
+        _ring_io(c_hbm, c_scr, c_sems, T=T, hw=hw, nsl=nsl, H=H, W=W),
+        _ring_io(av_hbm, av_scr, av_sems, T=T, hw=hw, nsl=nsl, H=H, W=W),
+        _ring_io(q_hbm, q_scr, q_sems, T=T, hw=hw, nsl=nsl, H=H, W=W),
+    ]
+
+    @pl.when(i == 0)
+    def _():
+        for start, _w in rings:
+            start(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        for start, _w in rings:
+            start(i + 1, nslot)
+
+    for _s, wait in rings:
+        wait(i, slot)
+
+    psc = scal_ref[0]
+    qsc = scal_ref[1]
+    inv_dx2 = scal_ref[2]
+    base = slot * P
+
+    def plane_at(s):
+        """Sponge plane (1,H,W) at window slice s — (spz[z]·sy)·sx.
+        Out-of-grid halo z's clamp the spz read; their ring slices are
+        zero-filled so the clamped value is moot."""
+        z = i * T + (s - hw)
+        zc = jnp.clip(z, 0, D - 1)
+        return (spz_ref[zc] * sy_blk[...])[None] * sx_blk[...][None]
+
+    # whole-window slice lists, computed ONCE per z (vs the per-tap
+    # recompute of the isotropic adjoint kernel: the VTI reverse needs
+    # each window value in up to 2hw+1 taps AND the accumulators, so
+    # recompute would multiply real VPU work, not a 2-multiply expression)
+    planes = [plane_at(s) for s in range(P)]
+    ebp = [ap1_scr[pl.ds(base + s, 1)] * planes[s] for s in range(P)]
+    ebq = [aq1_scr[pl.ds(base + s, 1)] * planes[s] for s in range(P)]
+    Cw = [c_scr[pl.ds(base + s, 1)] for s in range(P)]
+    avw = [av_scr[pl.ds(base + s, 1)] for s in range(P)]
+    # EXACT bstep trees: C * av * ebp ≡ (C·av)·ēp ; C * ebq
+    w3 = [(Cw[s] * avw[s]) * ebp[s] for s in range(P)]
+    w4 = [Cw[s] * ebq[s] for s in range(P)]
+    # decode: q.astype(f32)·sc — sc = s/127 for int8, exactly 1.0 for
+    # f32/bf16 (×1.0 is IEEE-exact, matching the XLA dec)
+    qdec = [q_scr[pl.ds(base + s, 1)].astype(jnp.float32) * qsc
+            for s in range(P)]
+
+    def d2_h(m):
+        """EXACT Lh tree: _d2_axis(m,1) + _d2_axis(m,2), each
+        (c0·m + Σ coef·(lo+hi))·inv_dx2 (zero in-plane boundary)."""
+        d2y = c0 * m
+        for s, coef in enumerate(cs, start=1):
+            ylo = jnp.pad(m[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
+            yhi = jnp.pad(m[:, s:, :], ((0, 0), (0, s), (0, 0)))
+            d2y = d2y + coef * (ylo + yhi)
+        d2y = d2y * inv_dx2
+        d2x = c0 * m
+        for s, coef in enumerate(cs, start=1):
+            xlo = jnp.pad(m[:, :, :-s], ((0, 0), (0, 0), (s, 0)))
+            xhi = jnp.pad(m[:, :, s:], ((0, 0), (0, 0), (0, s)))
+            d2x = d2x + coef * (xlo + xhi)
+        d2x = d2x * inv_dx2
+        return d2y + d2x
+
+    def d2_z(win, s_c):
+        """EXACT _d2_axis(·, 0) tree on a window slice list."""
+        out = c0 * win[s_c]
+        for s, coef in enumerate(cs, start=1):
+            out = out + coef * (win[s_c - s] + win[s_c + s])
+        return out * inv_dx2
+
+    for t in range(T):
+        s_c = hw + t
+        pdec = p_blk[pl.ds(t, 1)].astype(jnp.float32) * psc
+        lh_k = d2_h(pdec)
+        dzz_k = d2_z(qdec, s_c)
+        ebp_c = ebp[s_c]
+        ebq_c = ebq[s_c]
+        C_c = Cw[s_c]
+        av_c = avw[s_c]
+        ah_c = ah_blk[pl.ds(t, 1)]
+        gco_blk[pl.ds(t, 1)] = gc_blk[pl.ds(t, 1)] + (
+            (ah_c * lh_k + av_c * dzz_k) * ebp_c
+            + (av_c * lh_k + dzz_k) * ebq_c)
+        gaho_blk[pl.ds(t, 1)] = gah_blk[pl.ds(t, 1)] + (C_c * lh_k) * ebp_c
+        gavo_blk[pl.ds(t, 1)] = gav_blk[pl.ds(t, 1)] + C_c * (
+            dzz_k * ebp_c + lh_k * ebq_c)
+        ebp1 = ap2_blk[pl.ds(t, 1)] * planes[s_c]
+        ebq1 = aq2_blk[pl.ds(t, 1)] * planes[s_c]
+        m1 = C_c * ah_c * ebp_c
+        m2 = C_c * av_c * ebq_c
+        apo_blk[pl.ds(t, 1)] = (2.0 * ebp_c + d2_h(m1) + d2_h(m2)) - ebp1
+        aqo_blk[pl.ds(t, 1)] = (2.0 * ebq_c + d2_z(w3, s_c)
+                                + d2_z(w4, s_c)) - ebq1
+
+
+# in-loop sweep pending on hardware (the iso adjoint favored the biggest
+# tile; the VTI window lists keep more slices live, so start at a budget
+# that selects T=2 at 256³ — declared ≈21 MB + ~5 MB window temporaries)
+_VTI_ADJ_VMEM_BUDGET = 24 * 2**20
+_VTI_ADJ_VMEM_LIMIT = 34 * 2**20
+
+
+def vti_adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
+    """Largest z tile for the VTI adjoint kernel: FOUR f32 DMA rings
+    (ap₁, aq₁, c²dt², av) + the q-history ring at its stored width + 10
+    blocked f32 arrays (ap₂, aq₂, 3 accumulators in+out, ah) + the blocked
+    p-history, double-buffered, within ``_VTI_ADJ_VMEM_BUDGET``."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        ring = 2 * (t + 2 * hw)
+        vmem = (ring * (4 * 4 + store_itemsize)
+                + 2 * t * (11 * 4 + store_itemsize)) * H * W
+        if vmem <= _VTI_ADJ_VMEM_BUDGET:
+            return t
+    return None
+
+
+def fits_vti_adjoint_pallas(shape, dtype, order: int,
+                            store: str = "f32") -> bool:
+    """True when the fused VTI adjoint sweep applies: 3-D f32 grid,
+    lane/sublane-aligned minor dims (the history dtype tightens the
+    sublane requirement as for the isotropic kernel), VMEM-feasible tile."""
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS or store not in _STORE_DTYPES:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    sub = {"f32": 8, "bf16": 16, "int8": 32}[store]
+    if H % sub != 0:
+        return False
+    itemsize = jnp.dtype(_STORE_DTYPES[store]).itemsize
+    return vti_adjoint_step_tile(shape, order, itemsize) is not None
+
+
+def fused_vti_adjoint_step(ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah,
+                           p_enc, q_enc, psc, qsc, inv_dx2, spz, sy, sx, *,
+                           order: int = 2, interpret: bool = False):
+    """One reverse-sweep step of the stored-wavefield VTI adjoint in a
+    single slab-pipelined pass. Returns
+    ``(ap_core, aq_core, gC', gah', gav')`` where (S = (spz·sy)·sx,
+    ēp = S⊙ap1, ēq = S⊙aq1, histories decoded as q.astype(f32)·sc)
+
+        ap_core = (2ēp + Lh(C·ah·ēp) + Lh(C·av·ēq)) − S⊙ap2
+        aq_core = (2ēq + ∂zz(C·av·ēp) + ∂zz(C·ēq)) − S⊙aq2
+        gC'  = gC + (ah·Lh(p) + av·∂zz(q))⊙ēp + (av·Lh(p) + ∂zz(q))⊙ēq
+        gah' = gah + C·Lh(p)⊙ēp
+        gav' = gav + C·(∂zz(q)⊙ēp + Lh(p)⊙ēq)
+
+    with ``ap2→ap_core``, ``aq2→aq_core`` and each accumulator aliased in
+    place. The receiver injection Pᵀḡ is NOT included — ops/wave.py adds
+    it to ``ap_core`` outside as an in-place scatter. Raw kernel — no
+    autodiff rules (it IS the adjoint)."""
+    D, H, W = ap1.shape
+    T = vti_adjoint_step_tile(ap1.shape, order, q_enc.dtype.itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {ap1.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.stack([jnp.asarray(psc, jnp.float32),
+                      jnp.asarray(qsc, jnp.float32),
+                      jnp.asarray(inv_dx2, jnp.float32)])
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_vti_adjoint_kernel, T=T, D=D, H=H, W=W,
+                          order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[vspec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((D, H, W), jnp.float32)] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), jnp.float32),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), jnp.float32),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), jnp.float32),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), jnp.float32),
+            pltpu.VMEM((2 * (T + 2 * hw), H, W), q_enc.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        input_output_aliases=(
+            {} if interpret else {4: 0, 5: 1, 6: 2, 7: 3, 8: 4}),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VTI_ADJ_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, spz, sy, sx, ap2, aq2, gC, gah, gav, ah, p_enc,
+      ap1, aq1, C, av, q_enc)

@@ -2027,15 +2027,17 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
     # ---- forward history sweep (both fields encoded per step) ----------
     can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
     if can_fuse:
-        from .pallas_wave import fits_vti_pallas
+        from .pallas_wave import fits_vti_adjoint_pallas, fits_vti_pallas
 
-        can_fuse = fits_vti_pallas(shape, dtype, order)
+        can_fuse = (fits_vti_pallas(shape, dtype, order)
+                    and fits_vti_adjoint_pallas(shape, dtype, order, store))
     if fused is None:
         fused = can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
         raise ValueError(
-            "fused VTI stored-adjoint forward sweep requires a 3-D f32 "
-            "grid with lane/sublane-aligned minor dims"
+            "fused VTI stored-adjoint requires a 3-D f32 grid with "
+            "lane/sublane-aligned minor dims (the history dtype tightens "
+            "the sublane requirement: H%16==0 for bf16, H%32==0 for int8)"
         )
 
     if fused:
@@ -2090,6 +2092,60 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
     dd = dd.astype(dtype)
     dd_shift = jnp.concatenate(
         [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    if fused:
+        # ---- reverse sweep on the fused VTI adjoint kernel. The scan
+        # carries (ap₁, aq₁, ap₂, aq₂, gC, gah, gav) and is paired like
+        # the isotropic reverse: both adjoint-field pairs are written
+        # fresh each iteration, so the kernel's ap₂→ap / aq₂→aq /
+        # accumulator aliasing donates cleanly. Front-pad odd nt with a
+        # dummy k=-1 step (zero history, zero residual: accumulators
+        # untouched, its a_{-1} outputs discarded).
+        from .pallas_wave import fused_vti_adjoint_step
+
+        def adj_one(ap1, aq1, ap2, aq2, gC, gah, gav, pq, psv, qq, qsv, g):
+            one = jnp.asarray(1.0, dtype)
+            psc = (psv / 127.0) if store == "int8" else one
+            qsc = (qsv / 127.0) if store == "int8" else one
+            ap_core, aq_core, gC, gah, gav = fused_vti_adjoint_step(
+                ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah, pq, qq,
+                psc, qsc, inv_dx2, spz, spy, spx,
+                order=order, interpret=interp)
+            ap_k = ap_core.reshape(-1).at[rcv_idx].add(g).reshape(shape)
+            return ap_k, aq_core, gC, gah, gav
+
+        def bpair(carry, xs):
+            ap1, aq1, ap2, aq2, gC, gah, gav = carry
+            p2, ps2, q2, qs2, g2 = xs
+            ap_hi, aq_hi, gC, gah, gav = adj_one(
+                ap1, aq1, ap2, aq2, gC, gah, gav,
+                p2[1], ps2[1], q2[1], qs2[1], g2[1])
+            ap_lo, aq_lo, gC, gah, gav = adj_one(
+                ap_hi, aq_hi, ap1, aq1, gC, gah, gav,
+                p2[0], ps2[0], q2[0], qs2[0], g2[0])
+            return (ap_lo, aq_lo, ap_hi, aq_hi, gC, gah, gav), None
+
+        padr = nt % 2
+        ph_r, ps_r, qh_r, qs_r, grec_r = ph, ps, qh, qs, dd_shift
+        if padr:
+            ph_r = jnp.concatenate([jnp.zeros_like(ph[:1]), ph])
+            ps_r = jnp.concatenate([jnp.ones_like(ps[:1]), ps])
+            qh_r = jnp.concatenate([jnp.zeros_like(qh[:1]), qh])
+            qs_r = jnp.concatenate([jnp.ones_like(qs[:1]), qs])
+            grec_r = jnp.concatenate(
+                [jnp.zeros_like(dd_shift[:1]), dd_shift])
+        nt2 = nt + padr
+        xsr = tuple(
+            a.reshape((nt2 // 2, 2) + a.shape[1:])
+            for a in (ph_r, ps_r, qh_r, qs_r, grec_r))
+        z0 = jnp.zeros(shape, dtype) + zero
+        carry0 = (inject(dd[-1]), z0, z0, z0, z0, z0, z0)
+        (_, _, _, _, gC, gah, gav), _ = lax.scan(
+            bpair, carry0, xsr, reverse=True)
+        gc = gC * (2.0 * c) * jnp.asarray(dt * dt, dtype)
+        geps = 2.0 * gah
+        gdelta = gav / av
+        return gc, geps, gdelta
 
     def bstep(carry, xs):
         ap1, aq1, ebp1, ebq1, gC, gah, gav = carry
@@ -2166,7 +2222,7 @@ def vti_wave_propagator(
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
     if fused:
-        from .pallas_wave import fits_vti_pallas
+        from .pallas_wave import fits_vti_adjoint_pallas, fits_vti_pallas
 
         if q is not None:
             raise ValueError("fused VTI step does not support static Q")
@@ -2174,6 +2230,13 @@ def vti_wave_propagator(
             raise ValueError(
                 "fused VTI step requires a 3-D f32 grid with "
                 "lane/sublane-aligned minor dims (W%128==0, H%8==0)"
+            )
+        if store_adjoint is not None and not fits_vti_adjoint_pallas(
+                grid_shape, dtype, space_order, store_adjoint):
+            raise ValueError(
+                "fused VTI stored-adjoint infeasible for this config "
+                "(history dtype tightens the sublane requirement: "
+                "H%16==0 for bf16, H%32==0 for int8)"
             )
     og = ig = None
     if q is not None:

@@ -779,3 +779,120 @@ def test_tti_bf16_coeff_validation():
     # H=8 misses the bf16 (16,128) tile: fused+bf16 must refuse eagerly
     with pytest.raises(ValueError, match="fused TTI"):
         tti_wave_propagator(SHAPE, fused=True, coeff_dtype=jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------- #
+# fused VTI adjoint (reverse-sweep) step — the anisotropic gradient path
+# ---------------------------------------------------------------------- #
+
+
+def test_fused_vti_adjoint_step_bit_exact_order2():
+    from jets_tpu.ops.pallas_wave import fused_vti_adjoint_step
+    from jets_tpu.ops.wave import _d2_axis
+
+    D, H, W = SHAPE
+    keys = jax.random.split(jax.random.PRNGKey(31), 12)
+    ap1, aq1, ap2, aq2 = (jax.random.normal(keys[k], SHAPE, jnp.float32)
+                          for k in range(4))
+    gC, gah, gav = (jax.random.normal(keys[4 + k], SHAPE, jnp.float32)
+                    for k in range(3))
+    C = jax.random.uniform(keys[7], SHAPE, jnp.float32) + 0.5
+    av = jax.random.uniform(keys[8], SHAPE, jnp.float32) + 1.0
+    ah = jax.random.uniform(keys[9], SHAPE, jnp.float32) + 1.0
+    p = jax.random.normal(keys[10], SHAPE, jnp.float32)
+    q = jax.random.normal(keys[11], SHAPE, jnp.float32)
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+    inv_dx2 = jnp.float32(0.01)
+
+    @jax.jit
+    def xla_ref(ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah, p, q):
+        S = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(1, 1, W)
+        ebp, ebq = ap1 * S, aq1 * S
+        ebp1, ebq1 = ap2 * S, aq2 * S
+
+        def Lh(u):
+            return (_d2_axis(u, 1, inv_dx2, 2)
+                    + _d2_axis(u, 2, inv_dx2, 2))
+
+        def Dz(u):
+            return _d2_axis(u, 0, inv_dx2, 2)
+
+        lh_k, dzz_k = Lh(p), Dz(q)
+        gCn = gC + ((ah * lh_k + av * dzz_k) * ebp
+                    + (av * lh_k + dzz_k) * ebq)
+        gahn = gah + (C * lh_k) * ebp
+        gavn = gav + C * (dzz_k * ebp + lh_k * ebq)
+        ap = (2.0 * ebp + Lh(C * ah * ebp) + Lh(C * av * ebq)) - ebp1
+        aq = (2.0 * ebq + Dz(C * av * ebp) + Dz(C * ebq)) - ebq1
+        return ap, aq, gCn, gahn, gavn
+
+    out = fused_vti_adjoint_step(
+        ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah, p, q,
+        jnp.float32(1.0), jnp.float32(1.0), inv_dx2, sz,
+        sy.reshape(H, 1), sx.reshape(1, W), order=2, interpret=True)
+    ref = xla_ref(ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah, p, q)
+    # ulp-level, not array_equal: trailing mul-adds FMA-contract
+    # differently per context (see test_fused_adjoint_step_bit_exact)
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("store,tol",
+                         [("f32", 2e-5), ("bf16", 2e-2), ("int8", 5e-2)])
+def test_fused_vti_stored_adjoint_matches_xla(store, tol):
+    """Whole fused VTI stored-adjoint sweep (fused forward history + fused
+    reverse kernel + injection) vs the XLA stored path, per model block."""
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    kw = dict(AKW, store_adjoint=store)
+    Ff = vti_wave_propagator(ASHAPE, fused=True, **kw)
+    Fx = vti_wave_propagator(ASHAPE, fused=False, **kw)
+
+    def model(F):
+        full = lambda v: jnp.full(ASHAPE, v, jnp.float32)  # noqa: E731
+        return (F.dom.zeros().setblock(0, full(1500.0))
+                .setblock(1, full(0.1)).setblock(2, full(0.05)))
+
+    m0 = model(Fx)
+    d = Fx(m0.setblock(0, jnp.full(ASHAPE, 1530.0, jnp.float32))) - Fx(m0)
+    _assert_live(d)
+    gf = Ff.linearize(m0).H(d)
+    gx = Fx.linearize(m0).H(d)
+    for b in range(3):
+        f = np.asarray(gf.getblock(b))
+        x = np.asarray(gx.getblock(b))
+        scale = float(np.max(np.abs(x)))
+        assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+        np.testing.assert_allclose(f / scale, x / scale, rtol=0, atol=tol)
+
+
+def test_fused_vti_stored_adjoint_odd_nt_and_gating():
+    from jets_tpu.ops.pallas_wave import fits_vti_adjoint_pallas
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    kw = dict(AKW, nt=25, store_adjoint="f32")
+    Ff = vti_wave_propagator(ASHAPE, fused=True, **kw)
+    Fx = vti_wave_propagator(ASHAPE, fused=False, **kw)
+    full = lambda v: jnp.full(ASHAPE, v, jnp.float32)  # noqa: E731
+    m0 = (Fx.dom.zeros().setblock(0, full(1500.0))
+          .setblock(1, full(0.1)).setblock(2, full(0.05)))
+    d = Fx(m0.setblock(0, full(1530.0))) - Fx(m0)
+    _assert_live(d)
+    gf = Ff.linearize(m0).H(d)
+    gx = Fx.linearize(m0).H(d)
+    for b in range(3):
+        f = np.asarray(gf.getblock(b))
+        x = np.asarray(gx.getblock(b))
+        scale = float(np.max(np.abs(x)))
+        assert scale > 0.0
+        np.testing.assert_allclose(f / scale, x / scale, rtol=0, atol=2e-5)
+
+    assert fits_vti_adjoint_pallas(ASHAPE, jnp.float32, 2, "int8")
+    # H=8 feasible for f32 histories but not bf16/int8
+    assert fits_vti_adjoint_pallas(SHAPE, jnp.float32, 2, "f32")
+    assert not fits_vti_adjoint_pallas(SHAPE, jnp.float32, 2, "int8")
+    with pytest.raises(ValueError, match="stored-adjoint"):
+        vti_wave_propagator(SHAPE, nt=4, fused=True, store_adjoint="int8")
