@@ -103,9 +103,52 @@ def _selfcert():
     return rel_f, rel_a
 
 
+def _selfcert_aniso():
+    """Anisotropic sibling of :func:`_selfcert`: the fused VTI/TTI stored
+    reverse kernels (new in r5) must agree with the XLA stored sweeps ON
+    REAL HARDWARE, per model block, on a live physical residual. f32
+    store so the pin is tree-level, not quantization-limited."""
+    import numpy as np
+
+    from jets_tpu.ops.wave import tti_wave_propagator, vti_wave_propagator
+
+    shape = (16, 32, 128)
+    rcv = jnp.asarray([np.ravel_multi_index((8, 16, x), shape)
+                       for x in range(128)], jnp.int32)
+    kw = dict(nt=30, dt=6e-4, dx=10.0, freq=16.0,
+              src_idx=int(np.ravel_multi_index((8, 16, 64), shape)),
+              rcv_idx=rcv, sponge_width=3, dtype=jnp.float32)
+    full = lambda v: jnp.full(shape, v, jnp.float32)  # noqa: E731
+    rels = {}
+    for name, ctor, vals in (
+            ("vti", vti_wave_propagator, (1500.0, 0.1, 0.05)),
+            ("tti", tti_wave_propagator, (1500.0, 0.1, 0.05, 0.2, 0.7))):
+        Ff = ctor(shape, fused=True, store_adjoint="f32", **kw)
+        Fx = ctor(shape, fused=False, store_adjoint="f32", **kw)
+        m0 = Fx.dom.zeros()
+        for b, v in enumerate(vals):
+            m0 = m0.setblock(b, full(v))
+        d = Fx(m0.setblock(0, full(1530.0))) - Fx(m0)
+        assert float(jnp.max(jnp.abs(d))) > 0.0, f"{name} selfcert: vacuous"
+        gf = jax.jit(lambda dd, F=Ff, m=m0: F.linearize(m).H(dd))(d)
+        gx = jax.jit(lambda dd, F=Fx, m=m0: F.linearize(m).H(dd))(d)
+        rel = 0.0
+        for b in range(len(vals)):
+            x = gx.getblock(b)
+            sc = float(jnp.max(jnp.abs(x)))
+            assert sc > 0.0, f"{name} selfcert: vacuous adjoint block {b}"
+            rel = max(rel, float(jnp.max(jnp.abs(gf.getblock(b) - x))) / sc)
+        assert rel < 1e-3, f"fused {name} adjoint diverged from XLA: {rel}"
+        rels[name] = rel
+    _stage(f"aniso selfcert ok (vti rel {rels['vti']:.1e}, "
+           f"tti rel {rels['tti']:.1e})")
+    return rels["vti"], rels["tti"]
+
+
 def main():
     _stage("selfcert: fused-vs-XLA on real hardware")
     selfcert_fwd, selfcert_adj = _selfcert()
+    selfcert_vti, selfcert_tti = _selfcert_aniso()
     _stage("building problem")
     # 5% observation noise keeps the LS problem inconsistent so the solver
     # runs its full iteration budget (no early exact-fit exit).
@@ -250,7 +293,48 @@ def main():
     _stage(f"TTI f32 step done ({tti_step_us:.0f} us/step); bf16 coeffs")
     tti16_step_us = (tti_time(60, jnp.bfloat16)
                      - tti_time(10, jnp.bfloat16)) / 50 * 1e6
-    _stage(f"TTI bf16 step done ({tti16_step_us:.0f} us/step); matvec")
+    _stage(f"TTI bf16 step done ({tti16_step_us:.0f} us/step); VTI grad")
+
+    # ---- anisotropic FWI gradient steps (fused stored-int8 reverse
+    # kernels, new in r5 — previously these ran de-fused XLA reverse
+    # bodies at 6824 (VTI) / 23412 (TTI) us/step, docs §7). us per time
+    # step of the whole gradient (both sweeps), marginal between nt
+    # budgets; the summed return depends on EVERY gradient block (DCE
+    # guard).
+    from jets_tpu.ops.wave import vti_wave_propagator
+
+    def aniso_grad_time(ctor, nt, vals, cd=None):
+        extra = {} if cd is None else {"coeff_dtype": cd}
+        F = ctor(wshape, nt=nt, store_adjoint="int8", fused=True,
+                 **extra, **gkw)
+
+        @jax.jit
+        def g(v):
+            full = lambda x: jnp.full(wshape, x, jnp.float32)  # noqa: E731
+            m = F.dom.zeros().setblock(0, full(v))
+            for b, val in enumerate(vals[1:], start=1):
+                m = m.setblock(b, full(val))
+            gb = F.linearize(m).H(
+                jnp.ones((nt, grcv.shape[0]), jnp.float32))
+            out = jnp.sum(gb.getblock(0))
+            for b in range(1, len(vals)):
+                out = out + jnp.sum(gb.getblock(b))
+            return out
+
+        t, _ = _timed(g, wread, [(jnp.float32(1500.0 + 10 * i),)
+                                 for i in range(4)])
+        return t
+
+    VVALS = (1500.0, 0.1, 0.05)
+    TVALS = (1500.0, 0.1, 0.05, 0.2, 0.7)
+    vti_grad_step_us = (aniso_grad_time(vti_wave_propagator, 160, VVALS)
+                        - aniso_grad_time(vti_wave_propagator, 20, VVALS)
+                        ) / 140 * 1e6
+    _stage(f"VTI grad step done ({vti_grad_step_us:.0f} us/step); TTI grad")
+    tti_grad_step_us = (aniso_grad_time(tti_wave_propagator, 60, TVALS)
+                        - aniso_grad_time(tti_wave_propagator, 10, TVALS)
+                        ) / 50 * 1e6
+    _stage(f"TTI grad step done ({tti_grad_step_us:.0f} us/step); matvec")
 
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
@@ -290,8 +374,12 @@ def main():
                 "ms3d_config": f"grid={wshape}, nshots=16, map+int8",
                 "tti3d_step_us": round(tti_step_us, 2),
                 "tti3d_bf16_step_us": round(tti16_step_us, 2),
+                "vti3d_grad_step_us": round(vti_grad_step_us, 2),
+                "tti3d_grad_step_us": round(tti_grad_step_us, 2),
                 "selfcert_fwd_rel": float(f"{selfcert_fwd:.2e}"),
                 "selfcert_adj_rel": float(f"{selfcert_adj:.2e}"),
+                "selfcert_vti_adj_rel": float(f"{selfcert_vti:.2e}"),
+                "selfcert_tti_adj_rel": float(f"{selfcert_tti:.2e}"),
                 "relative_residual": round(resid_rel, 6),
                 "config": f"grid={GRID}, nshots={NSHOTS}, nrecv={NRECV}, f32",
                 "device": str(jax.devices()[0]),

@@ -1565,3 +1565,340 @@ def fused_vti_adjoint_step(ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah,
         interpret=interpret,
     )(scal, spz, sy, sx, ap2, aq2, gC, gah, gav, ah, p_enc,
       ap1, aq1, C, av, q_enc)
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-D TTI ADJOINT (reverse-sweep) step — the production anisotropic
+# FWI gradient. ops/wave.py::_adjoint_stored_tti3d's reverse body carries
+# TEN fields and applies twelve stencil passes per step; XLA de-fuses it
+# completely (measured 23,412 µs/step at 256³ f32 — statistical parity
+# with autodiff-remat, ~15× the fused TTI forward). This kernel runs the
+# whole update in ONE slab-pipelined pass: ap₁, aq₁, c²dt², the five
+# coefficient fields (1+2ε, √(1+2δ), nz, ny, nx — streamed at their
+# stored width, so the bf16 coefficient mode halves their share) and BOTH
+# encoded histories flow through ten DMA rings; both a₊₊ fields and the
+# SIX gradient accumulators (gC, gah, gav, gnz, gny, gnx) ride blocked
+# specs aliased in place. Touches per reverse step (int8 history, f32
+# coeffs): 8 f32 rings + 2·¼ + 8 blocked reads + 8 writes ≈ 24.5 — vs
+# the de-fused XLA body's ~200+. The six direction coefficients are
+# recomputed in-register from the three axis reads, as in the forward
+# TTI kernel. Receiver injection stays an XLA scatter on ap outside.
+#
+# Bit-exactness contract at order 2 (gated by tests/test_pallas_wave.py):
+# the kernel reproduces the exact FP trees of _adjoint_stored_tti3d's XLA
+# bstep (_mul_sponge / _d2_axis / _d1_axis compositions / H_of / V_of /
+# HT / VT / the accumulator sums), so fused and XLA TTI stored-adjoints
+# are interchangeable mid-inversion.
+# ---------------------------------------------------------------------------
+
+
+def _tti_adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk,
+                        ap2_blk, aq2_blk, gc_blk, gah_blk, gav_blk,
+                        gnz_blk, gny_blk, gnx_blk,
+                        ap1_hbm, aq1_hbm, c_hbm, ah_hbm, av_hbm,
+                        nz_hbm, ny_hbm, nx_hbm, p_hbm, q_hbm,
+                        apo_blk, aqo_blk, gco_blk, gaho_blk, gavo_blk,
+                        gnzo_blk, gnyo_blk, gnxo_blk,
+                        ap1_scr, aq1_scr, c_scr, ah_scr, av_scr,
+                        nz_scr, ny_scr, nx_scr, p_scr, q_scr,
+                        sems, *, T, D, H, W, order):
+    from .wave import _D1_COEFFS
+
+    c0, cs = _D2_COEFFS[order]
+    c1s = _D1_COEFFS[order]
+    hw = len(cs)
+    i = pl.program_id(0)
+    nsl = D // T
+    two = jnp.asarray(2, i.dtype)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+    P = T + 2 * hw
+
+    hbms = (ap1_hbm, aq1_hbm, c_hbm, ah_hbm, av_hbm, nz_hbm, ny_hbm,
+            nx_hbm, p_hbm, q_hbm)
+    scrs = (ap1_scr, aq1_scr, c_scr, ah_scr, av_scr, nz_scr, ny_scr,
+            nx_scr, p_scr, q_scr)
+    rings = [
+        _ring_io(h, s, sems.at[r], T=T, hw=hw, nsl=nsl, H=H, W=W)
+        for r, (h, s) in enumerate(zip(hbms, scrs))
+    ]
+
+    @pl.when(i == 0)
+    def _():
+        for start, _w in rings:
+            start(0, 0)
+
+    @pl.when(i + 1 < nsl)
+    def _():
+        for start, _w in rings:
+            start(i + 1, nslot)
+
+    for _s, wait in rings:
+        wait(i, slot)
+
+    psc = scal_ref[0]
+    qsc = scal_ref[1]
+    inv_dx2 = scal_ref[2]
+    inv_dx = scal_ref[3]
+    base = slot * P
+
+    def plane_at(s):
+        z = i * T + (s - hw)
+        zc = jnp.clip(z, 0, D - 1)
+        return (spz_ref[zc] * sy_blk[...])[None] * sx_blk[...][None]
+
+    # whole-window slice lists, computed once per z (the TTI reverse reads
+    # each window value in up to three transposed-derivative taps plus the
+    # accumulator products — per-tap recompute would multiply real work)
+    planes = [plane_at(s) for s in range(P)]
+    ebp = [ap1_scr[pl.ds(base + s, 1)] * planes[s] for s in range(P)]
+    ebq = [aq1_scr[pl.ds(base + s, 1)] * planes[s] for s in range(P)]
+    Cwin = [c_scr[pl.ds(base + s, 1)] for s in range(P)]
+    # coefficient windows upcast in-register (no-op for f32; the bf16
+    # coefficient mode streams the same values the XLA path's
+    # straight-through-rounded f32 fields hold)
+    ahw = [ah_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
+    avw = [av_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
+    nzw = [nz_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
+    nyw = [ny_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
+    nxw = [nx_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
+    # EXACT bstep trees: C * ah * ebp ≡ (C·ah)·ēp, etc.
+    w1 = [(Cwin[s] * ahw[s]) * ebp[s] for s in range(P)]   # HT arg 1 (ap)
+    w2 = [(Cwin[s] * avw[s]) * ebq[s] for s in range(P)]   # HT arg 2 (ap)
+    w3 = [(Cwin[s] * avw[s]) * ebp[s] for s in range(P)]   # VT arg 1 (aq)
+    w4 = [Cwin[s] * ebq[s] for s in range(P)]              # VT arg 2 (aq)
+    pdec = [p_scr[pl.ds(base + s, 1)].astype(jnp.float32) * psc
+            for s in range(P)]
+    qdec = [q_scr[pl.ds(base + s, 1)].astype(jnp.float32) * qsc
+            for s in range(P)]
+    # z-halo-needed direction coefficients (same f32 products as the XLA
+    # path's precomputed fields); in-plane-only ones are built at center
+    czzw = [nzw[s] * nzw[s] for s in range(P)]
+    czyw = [2.0 * nzw[s] * nyw[s] for s in range(P)]
+    czxw = [2.0 * nzw[s] * nxw[s] for s in range(P)]
+
+    def _pad_y(a, lo, hi):
+        return jnp.pad(a, ((0, 0), (lo, hi), (0, 0)))
+
+    def _pad_x(a, lo, hi):
+        return jnp.pad(a, ((0, 0), (0, 0), (lo, hi)))
+
+    def d2y_c(m):
+        """EXACT _d2_axis(m, 1) tree on a center slice."""
+        out = c0 * m
+        for s, coef in enumerate(cs, start=1):
+            out = out + coef * (_pad_y(m[:, s:, :], 0, s)
+                                + _pad_y(m[:, :-s, :], s, 0))
+        return out * inv_dx2
+
+    def d2x_c(m):
+        out = c0 * m
+        for s, coef in enumerate(cs, start=1):
+            out = out + coef * (_pad_x(m[:, :, s:], 0, s)
+                                + _pad_x(m[:, :, :-s], s, 0))
+        return out * inv_dx2
+
+    def d1y_c(m):
+        """EXACT _d1_axis(m, 1) tree on a center slice."""
+        out = None
+        for s, c1 in enumerate(c1s, start=1):
+            term = c1 * (_pad_y(m[:, s:, :], 0, s)
+                         - _pad_y(m[:, :-s, :], s, 0))
+            out = term if out is None else out + term
+        return out * inv_dx
+
+    def d1x_c(m):
+        out = None
+        for s, c1 in enumerate(c1s, start=1):
+            term = c1 * (_pad_x(m[:, :, s:], 0, s)
+                         - _pad_x(m[:, :, :-s], s, 0))
+            out = term if out is None else out + term
+        return out * inv_dx
+
+    for t in range(T):
+        s_c = hw + t
+        czz_c, czy_c, czx_c = czzw[s_c], czyw[s_c], czxw[s_c]
+        ny_c, nx_c = nyw[s_c], nxw[s_c]
+        cyy_c = ny_c * ny_c
+        cxx_c = nx_c * nx_c
+        cyx_c = 2.0 * ny_c * nx_c
+
+        def d2z_w(f):
+            """EXACT _d2_axis(·, 0) tree on a window slice list."""
+            out = c0 * f[s_c]
+            for s, coef in enumerate(cs, start=1):
+                out = out + coef * (f[s_c + s] + f[s_c - s])
+            return out * inv_dx2
+
+        def d1z_w(f):
+            """EXACT _d1_axis(·, 0) tree on a window slice list."""
+            out = None
+            for s, c1 in enumerate(c1s, start=1):
+                term = c1 * (f[s_c + s] - f[s_c - s])
+                out = term if out is None else out + term
+            return out * inv_dx
+
+        def ht_of(w):
+            """EXACT HT tree: Σ D_d(κ_d·w) with the H coefficients."""
+            out = d2z_w([(1.0 - czzw[s]) * w[s] for s in range(P)])
+            out = out + d2y_c((1.0 - cyy_c) * w[s_c])
+            out = out + d2x_c((1.0 - cxx_c) * w[s_c])
+            out = out - d1y_c(d1z_w([czyw[s] * w[s] for s in range(P)]))
+            out = out - d1x_c(d1z_w([czxw[s] * w[s] for s in range(P)]))
+            out = out - d1x_c(d1y_c(cyx_c * w[s_c]))
+            return out
+
+        def vt_of(w):
+            out = d2z_w([czzw[s] * w[s] for s in range(P)])
+            out = out + d2y_c(cyy_c * w[s_c])
+            out = out + d2x_c(cxx_c * w[s_c])
+            out = out + d1y_c(d1z_w([czyw[s] * w[s] for s in range(P)]))
+            out = out + d1x_c(d1z_w([czxw[s] * w[s] for s in range(P)]))
+            out = out + d1x_c(d1y_c(cyx_c * w[s_c]))
+            return out
+
+        def derivs(win):
+            """EXACT derivs tree: (d2z, d2y, d2x, dzy, dzx, dyx)."""
+            c_ = win[s_c]
+            vz = d1z_w(win)
+            return (d2z_w(win), d2y_c(c_), d2x_c(c_),
+                    d1y_c(vz), d1x_c(vz), d1x_c(d1y_c(c_)))
+
+        dp6 = derivs(pdec)
+        dq6 = derivs(qdec)
+        # H_of / V_of EXACT trees
+        Hp = ((1.0 - czz_c) * dp6[0] + (1.0 - cyy_c) * dp6[1]
+              + (1.0 - cxx_c) * dp6[2]
+              - czy_c * dp6[3] - czx_c * dp6[4] - cyx_c * dp6[5])
+        Vq = (czz_c * dq6[0] + cyy_c * dq6[1] + cxx_c * dq6[2]
+              + czy_c * dq6[3] + czx_c * dq6[4] + cyx_c * dq6[5])
+
+        ebp_c, ebq_c = ebp[s_c], ebq[s_c]
+        C_c = Cwin[s_c]
+        ah_c, av_c = ahw[s_c], avw[s_c]
+        nz_c = nzw[s_c]
+        gco_blk[pl.ds(t, 1)] = gc_blk[pl.ds(t, 1)] + (
+            (ah_c * Hp + av_c * Vq) * ebp_c + (av_c * Hp + Vq) * ebq_c)
+        gaho_blk[pl.ds(t, 1)] = gah_blk[pl.ds(t, 1)] + (C_c * Hp) * ebp_c
+        gavo_blk[pl.ds(t, 1)] = gav_blk[pl.ds(t, 1)] + C_c * (
+            Vq * ebp_c + Hp * ebq_c)
+        # six per-derivative coefficient contributions, folded straight
+        # into the three axis-component accumulators (EXACT bstep trees)
+        dz_c = [C_c * ((av_c * q_d - ah_c * p_d) * ebp_c
+                       + (q_d - av_c * p_d) * ebq_c)
+                for p_d, q_d in zip(dp6, dq6)]
+        dczz, dcyy, dcxx, dczy, dczx, dcyx = dz_c
+        gnzo_blk[pl.ds(t, 1)] = gnz_blk[pl.ds(t, 1)] + (
+            2.0 * nz_c * dczz + 2.0 * ny_c * dczy + 2.0 * nx_c * dczx)
+        gnyo_blk[pl.ds(t, 1)] = gny_blk[pl.ds(t, 1)] + (
+            2.0 * ny_c * dcyy + 2.0 * nz_c * dczy + 2.0 * nx_c * dcyx)
+        gnxo_blk[pl.ds(t, 1)] = gnx_blk[pl.ds(t, 1)] + (
+            2.0 * nx_c * dcxx + 2.0 * nz_c * dczx + 2.0 * ny_c * dcyx)
+
+        ebp1 = ap2_blk[pl.ds(t, 1)] * planes[s_c]
+        ebq1 = aq2_blk[pl.ds(t, 1)] * planes[s_c]
+        apo_blk[pl.ds(t, 1)] = (2.0 * ebp_c + ht_of(w1) + ht_of(w2)) - ebp1
+        aqo_blk[pl.ds(t, 1)] = (2.0 * ebq_c + vt_of(w3) + vt_of(w4)) - ebq1
+
+
+# the TTI reverse holds ~18 window slice lists live; keep the declared
+# budget low enough that 256³ lands on T=1 until an in-loop hardware sweep
+# says otherwise (declared ≈22 MB at T=1 + ~8 MB window temporaries)
+_TTI_ADJ_VMEM_BUDGET = 24 * 2**20
+_TTI_ADJ_VMEM_LIMIT = 44 * 2**20
+
+
+def tti_adjoint_step_tile(shape, order: int, store_itemsize: int = 4,
+                          coeff_itemsize: int = 4):
+    """Largest z tile for the TTI adjoint kernel: THREE f32 DMA rings
+    (ap₁, aq₁, c²dt²) + five coefficient rings at their stored width + two
+    history rings at theirs + 16 blocked f32 arrays (2 adjoint fields + 6
+    accumulators, in+out), within ``_TTI_ADJ_VMEM_BUDGET``."""
+    D, H, W = shape
+    hw = len(_D2_COEFFS[order][1])
+    for t in (8, 4, 2, 1):
+        if D % t or t < hw:
+            continue
+        ring = 2 * (t + 2 * hw)
+        vmem = (ring * (3 * 4 + 5 * coeff_itemsize + 2 * store_itemsize)
+                + 2 * t * 16 * 4) * H * W
+        if vmem <= _TTI_ADJ_VMEM_BUDGET:
+            return t
+    return None
+
+
+def fits_tti_adjoint_pallas(shape, dtype, order: int, store: str = "f32",
+                            coeff_itemsize: int = 4) -> bool:
+    """True when the fused TTI adjoint sweep applies (3-D f32 grid,
+    aligned minor dims; history AND coefficient dtypes tighten the sublane
+    requirement)."""
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if order not in _D2_COEFFS or store not in _STORE_DTYPES:
+        return False
+    D, H, W = shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    sub = {"f32": 8, "bf16": 16, "int8": 32}[store]
+    if H % sub != 0:
+        return False
+    if coeff_itemsize == 2 and H % 16 != 0:
+        return False
+    itemsize = jnp.dtype(_STORE_DTYPES[store]).itemsize
+    return tti_adjoint_step_tile(shape, order, itemsize,
+                                 coeff_itemsize) is not None
+
+
+def fused_tti_adjoint_step(ap1, aq1, ap2, aq2, gC, gah, gav, gnz, gny, gnx,
+                           C, ah, av, nz, ny, nx, p_enc, q_enc,
+                           psc, qsc, inv_dx2, inv_dx, spz, sy, sx, *,
+                           order: int = 2, interpret: bool = False):
+    """One reverse-sweep step of the stored-wavefield 3-D TTI adjoint in a
+    single slab-pipelined pass. Returns ``(ap_core, aq_core, gC', gah',
+    gav', gnz', gny', gnx')`` — the transposed coupled update (HT/VT with
+    coefficients inside the derivatives) plus all six gradient
+    accumulations, with ``ap2→ap_core``, ``aq2→aq_core`` and every
+    accumulator aliased in place. The five coefficient fields may be bf16
+    (upcast in-register — the reduced-precision coefficient mode).
+    Receiver injection Pᵀḡ is NOT included (ops/wave.py scatters it onto
+    ``ap_core``). Raw kernel — no autodiff rules (it IS the adjoint)."""
+    D, H, W = ap1.shape
+    T = tti_adjoint_step_tile(ap1.shape, order, q_enc.dtype.itemsize,
+                              jnp.dtype(ah.dtype).itemsize)
+    if T is None:
+        raise ValueError(f"no VMEM-feasible slab tile for shape {ap1.shape}")
+    hw = len(_D2_COEFFS[order][1])
+    blk = (T, H, W)
+    idx = lambda i: (i, 0, 0)  # noqa: E731
+    scal = jnp.stack([jnp.asarray(psc, jnp.float32),
+                      jnp.asarray(qsc, jnp.float32),
+                      jnp.asarray(inv_dx2, jnp.float32),
+                      jnp.asarray(inv_dx, jnp.float32)])
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    ring_scr = [
+        pltpu.VMEM((2 * (T + 2 * hw), H, W), d)
+        for d in (jnp.float32, jnp.float32, jnp.float32,
+                  ah.dtype, av.dtype, nz.dtype, ny.dtype, nx.dtype,
+                  p_enc.dtype, q_enc.dtype)
+    ]
+    return pl.pallas_call(
+        functools.partial(_tti_adjoint_kernel, T=T, D=D, H=H, W=W,
+                          order=order),
+        grid=(D // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + [vspec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)] * 10,
+        out_specs=[vspec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((D, H, W), jnp.float32)] * 8,
+        scratch_shapes=ring_scr + [pltpu.SemaphoreType.DMA((10, 2, 3))],
+        input_output_aliases=(
+            {} if interpret else {4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5,
+                                  10: 6, 11: 7}),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TTI_ADJ_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, spz, sy, sx, ap2, aq2, gC, gah, gav, gnz, gny, gnx,
+      ap1, aq1, C, ah, av, nz, ny, nx, p_enc, q_enc)

@@ -259,6 +259,29 @@ def _scan_remat(step, carry, xs, remat_blocks: int):
     return carry, traces.reshape((nt,) + traces.shape[2:])
 
 
+def _store_codec(store: str, dtype):
+    """Per-snapshot (enc, dec) for the stored-wavefield adjoints: ``f32``
+    lossless, ``bf16`` 2× smaller, ``int8`` max-abs-scaled 4× smaller (the
+    CvxCompress-style lossy trade of the reference family's production
+    imaging, ``/root/reference/docs/src/index.md:17``). ``enc`` returns
+    ``(encoded, scale)``; ``dec(encoded, scale)`` inverts it."""
+    if store == "f32":
+        return (lambda u: (u, jnp.ones((), dtype))), (lambda q, s: q)
+    if store == "bf16":
+        return (lambda u: (u.astype(jnp.bfloat16), jnp.ones((), dtype)),
+                lambda q, s: q.astype(dtype))
+    if store == "int8":
+        def enc(u):
+            s = jnp.maximum(jnp.max(jnp.abs(u)),
+                            jnp.asarray(1e-30, dtype))
+            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
+
+        return enc, (lambda q, s: q.astype(dtype) * (s / 127.0))
+    raise ValueError(
+        f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
+    )
+
+
 def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
                remat_blocks, order: int = 2, src_mask=None, extract=None,
                fused=None, wavefield_sharding=None):
@@ -483,24 +506,7 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         return (_iota_src_mask(shape, src_idx, amp) if iota_src
                 else dense_mask)
 
-    if store == "f32":
-        enc = lambda u: (u, jnp.ones((), dtype))                # noqa: E731
-        dec = lambda q, s: q                                    # noqa: E731
-    elif store == "bf16":
-        enc = lambda u: (u.astype(jnp.bfloat16),                # noqa: E731
-                         jnp.ones((), dtype))
-        dec = lambda q, s: q.astype(dtype)                      # noqa: E731
-    elif store == "int8":
-        def enc(u):
-            s = jnp.maximum(jnp.max(jnp.abs(u)),
-                            jnp.asarray(1e-30, dtype))
-            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
-
-        dec = lambda q, s: q.astype(dtype) * (s / 127.0)        # noqa: E731
-    else:
-        raise ValueError(
-            f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
-        )
+    enc, dec = _store_codec(store, dtype)
 
     # seed zeros with a src-derived term so their varying/batching type
     # already matches the scan outputs under shard_map/vmap (same trick
@@ -1249,6 +1255,142 @@ def _propagate_vd(c, b, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     return traces
 
 
+def _div_b_grad_bbar(u, w, inv_dx2):
+    """Cotangent on ``b`` of ``b ↦ ⟨w, div(b·grad u)⟩`` at fixed ``u`` —
+    the hand-derived b-transpose of :func:`_div_b_grad`: per axis,
+    ``flux̄ = w·inv_dx2`` differenced back onto the staggered points
+    (``wd[lo] − wd[hi]``), multiplied by the stored ``D⁺u``, and spread
+    half-and-half onto the two neighboring cells (the transpose of the
+    ``0.5·(b[hi]+b[lo])`` averaging)."""
+    nd = u.ndim
+    out = None
+    wd = w * inv_dx2
+    for ax in range(nd):
+        sl_lo = tuple(slice(0, -1) if i == ax else slice(None)
+                      for i in range(nd))
+        sl_hi = tuple(slice(1, None) if i == ax else slice(None)
+                      for i in range(nd))
+        dplus = u[sl_hi] - u[sl_lo]
+        bh_bar = (wd[sl_lo] - wd[sl_hi]) * dplus
+        half = 0.5 * bh_bar
+        pad_lo = tuple((1, 0) if i == ax else (0, 0) for i in range(nd))
+        pad_hi = tuple((0, 1) if i == ax else (0, 0) for i in range(nd))
+        contrib = jnp.pad(half, pad_hi) + jnp.pad(half, pad_lo)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def _adjoint_stored_vd(c, b, qf, dd, src_wavelet, src_idx, rcv_idx, *, dt,
+                       dx, f0, sponge, store: str = "int8"):
+    """Adjoint-state gradient for the variable-density (and, with ``qf``,
+    the full IsoDenQ) physics with a STORED encoded pressure history — the
+    DenQ sibling of :func:`_adjoint_stored` (the reference family's
+    production propagators are all Prop*AcoIsoDenQ,
+    ``/root/reference/docs/src/index.md:17``). The reverse sweep is the
+    hand-derived transpose of :func:`_propagate_vd`'s leapfrog (``L_b =
+    div(b·grad·)`` is self-adjoint in ``p`` for fixed ``b``; the Kosloff
+    friction is diagonal, so its factors ride the reverse recurrence
+    in-register): with ``K = κ·dt²``, ``sē_k = S⊙a_{k+1}``,
+    ``ē_k = ig⊙sē_k``,
+
+        a_k  = Pᵀḡ + 2ē_k + L_b(K·ē_k) − og·ē_{k+1}
+        gK  += (L_b(p_k) + s_k·mask)⊙ē_k
+        gb  += b̄(p_k, K·ē_k)                  (the L_b b-transpose)
+        gig += sē_k·(2p_k + K·(L_b(p_k) + s_k·mask)) − og·p_k·sē_{k+1}
+        gog += −p_k·ē_{k+1}
+
+    (the ``u_{k−1}`` terms of the direct transpose are REINDEXED onto step
+    ``k`` against the carried ``ē_{k+1}``/``sē_{k+1}``, so each reverse
+    step reads exactly one history snapshot). Model-block chains:
+    ``gc = gK·(2c/b)·dt²``, ``gb −= gK·K/b``, and for finite Q
+    ``gg = −gog − ig²·gig``, ``gQ = −gg·g/Q``. Returns ``(gc, gb)`` or
+    ``(gc, gb, gQ)``."""
+    shape = c.shape
+    dtype = c.dtype
+    kappa = (c * c) / b
+    K = kappa * (dt * dt)
+    inv_dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
+    with_q = qf is not None
+    if with_q:
+        import math
+
+        g = (math.pi * f0 * dt) / qf
+        ig = 1.0 / (1.0 + g)
+        og = 1.0 - g
+    size = 1
+    for s in shape:
+        size *= int(s)
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(1.0, dtype)
+    if not iota_src:
+        dense_mask = (
+            jnp.zeros((size,), dtype).at[src_idx].set(1.0).reshape(shape)
+        )
+
+    def mask():
+        return (_iota_src_mask(shape, src_idx, amp) if iota_src
+                else dense_mask)
+
+    enc, dec = _store_codec(store, dtype)
+    zero = (src_idx * 0).astype(dtype)
+    u0 = jnp.zeros(shape, dtype) + zero
+
+    def fstep(carry, s_t):
+        p_prev, p = carry
+        lap = _div_b_grad(p, b, inv_dx2)
+        if with_q:
+            p_next = _mul_sponge(
+                (2.0 * p - og * p_prev + K * (lap + s_t * mask())) * ig,
+                sponge)
+        else:
+            p_next = _mul_sponge(
+                2.0 * p - p_prev + K * (lap + s_t * mask()), sponge)
+        return (p, p_next), enc(p)
+
+    (_, _), (hist, scales) = lax.scan(fstep, (u0, u0), src_wavelet)
+
+    def inject(row):
+        return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
+                .reshape(shape))
+
+    dd = dd.astype(dtype)
+    dd_shift = jnp.concatenate(
+        [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    def bstep(carry, xs):
+        a_nxt, ebar_nxt, sbar_nxt, gK, gb, gig, gog = carry
+        qh, s, grec_prev, s_t = xs
+        p_k = dec(qh, s)
+        sbar = _mul_sponge(a_nxt, sponge)
+        ebar = ig * sbar if with_q else sbar
+        lap_k = _div_b_grad(p_k, b, inv_dx2)
+        src_k = lap_k + s_t * mask()
+        gK = gK + src_k * ebar
+        gb = gb + _div_b_grad_bbar(p_k, K * ebar, inv_dx2)
+        if with_q:
+            gig = gig + (sbar * (2.0 * p_k + K * src_k)
+                         - og * (p_k * sbar_nxt))
+            gog = gog - p_k * ebar_nxt
+            a_k = (2.0 * ebar + _div_b_grad(K * ebar, b, inv_dx2)
+                   - og * ebar_nxt) + inject(grec_prev)
+        else:
+            a_k = (2.0 * ebar + _div_b_grad(K * ebar, b, inv_dx2)
+                   - ebar_nxt) + inject(grec_prev)
+        return (a_k, ebar, sbar, gK, gb, gig, gog), None
+
+    carry0 = (inject(dd[-1]),) + (u0,) * 6
+    (_, _, _, gK, gb, gig, gog), _ = lax.scan(
+        bstep, carry0, (hist, scales, dd_shift, src_wavelet), reverse=True)
+
+    gc = gK * (2.0 * c / b) * jnp.asarray(dt * dt, dtype)
+    gb = gb - gK * (K / b)
+    if not with_q:
+        return gc, gb
+    gg = -gog - (ig * ig) * gig
+    gQ = -gg * (g / qf)
+    return gc, gb, gQ
+
+
 def vd_wave_propagator(
     grid_shape: Sequence[int],
     *,
@@ -1261,6 +1403,7 @@ def vd_wave_propagator(
     sponge_width: int = 12,
     remat_blocks: int = 1,
     dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Two-parameter variable-density forward modeling
@@ -1271,7 +1414,11 @@ def vd_wave_propagator(
     FWI model is exactly a block vector, ``src/Jets.jl:736-760``); range:
     ``(nt, nrcv)`` traces. Tangent/adjoint are jvp/vjp through the
     rematerialized scan over the WHOLE block vector, so the adjoint
-    returns the (δc, δb) gradient pair in one reverse pass."""
+    returns the (δc, δb) gradient pair in one reverse pass.
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} switches the adjoint
+    to the hand-derived STORED-history sweep (:func:`_adjoint_stored_vd`):
+    no rematerialization recompute, history at the encoded width."""
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
@@ -1299,10 +1446,32 @@ def vd_wave_propagator(
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (dd,) = rvjp(dd)
+            gc, gb = _adjoint_stored_vd(
+                m0.getblock(0).reshape(grid_shape),
+                m0.getblock(1).reshape(grid_shape), None, dd,
+                state["wavelet"], state["src_idx"], state["rcv_idx"],
+                dt=dt, dx=dx, f0=0.0, sponge=state["sponge"],
+                store=store_adjoint,
+            )
+            return dom.zeros().setblock(0, gc).setblock(1, gb)
 
     j = Jet(
         dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
@@ -1546,6 +1715,100 @@ def _propagate_q(c, q, src_wavelet, src_idx, rcv_idx, *, dt, dx, f0, sponge,
     u0 = jnp.zeros(shape, c.dtype) + zero
     (_, _), traces = _scan_remat(step, (u0, u0), src_wavelet, remat_blocks)
     return traces
+
+
+def _adjoint_stored_q(c, qf, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx,
+                      f0, sponge, order: int = 2, store: str = "int8",
+                      coeff_dtype=None):
+    """Adjoint-state gradient ``(∂F/∂(c,Q))ᵀ dd`` for the Kosloff
+    constant-Q physics with a STORED encoded history — the transpose of
+    :func:`_propagate_q`'s friction recurrence, hand-derived: the friction
+    is DIAGONAL, so the reverse recursion carries the same in-register
+    ``og = 1−g`` / ``ig = 1/(1+g)`` factors (with ``C = c²dt²/dx²``,
+    ``sē_k = S⊙a_{k+1}``, ``ē_k = ig⊙sē_k``):
+
+        a_k  = Pᵀḡ + 2ē_k + L(C·ē_k) − og·ē_{k+1}
+        gC  += L(u_k)⊙ē_k
+        gig += sē_k·(2u_k + C·L(u_k)) − og·u_k·sē_{k+1}
+        gog += −u_k·ē_{k+1}
+
+    (``u_{k−1}`` terms reindexed against the carried ``ē/sē_{k+1}``), then
+    ``gc = gC·2c·dt²/dx²``, ``gg = −gog − ig²·gig``, ``gQ = −gg·g/Q``.
+    ``coeff_dtype=jnp.bfloat16`` applies the forward's straight-through
+    g-rounding so the gradient matches the rounded primal. Returns
+    ``(gc, gQ)``."""
+    import math
+
+    shape = c.shape
+    dtype = c.dtype
+    C = (c * c) * (dt * dt) / (dx * dx)
+    g_raw = (math.pi * f0 * dt) / qf
+    g = g_raw
+    if (coeff_dtype is not None
+            and jnp.dtype(coeff_dtype) == jnp.bfloat16):
+        g = lax.reduce_precision(g_raw, 8, 7)
+    ig = 1.0 / (1.0 + g)
+    og = 1.0 - g
+    size = 1
+    for s in shape:
+        size *= int(s)
+    iota_src = c.ndim >= 3
+    amp = jnp.asarray(dt * dt, dtype)
+    if not iota_src:
+        dense_mask = (
+            jnp.zeros((size,), dtype).at[src_idx].set(dt * dt)
+            .reshape(shape)
+        )
+
+    def mask():
+        return (_iota_src_mask(shape, src_idx, amp) if iota_src
+                else dense_mask)
+
+    enc, dec = _store_codec(store, dtype)
+    zero = (src_idx * 0).astype(dtype)
+    u0 = jnp.zeros(shape, dtype) + zero
+
+    def fstep(carry, s_t):
+        u_prev, u = carry
+        lap = _laplacian(u, order=order)
+        u_next = _mul_sponge(
+            (2.0 * u - og * u_prev + C * lap) * ig, sponge
+        ) + s_t * mask()
+        return (u, u_next), enc(u)
+
+    (_, _), (hist, scales) = lax.scan(fstep, (u0, u0), src_wavelet)
+
+    def inject(row):
+        return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
+                .reshape(shape))
+
+    dd = dd.astype(dtype)
+    dd_shift = jnp.concatenate(
+        [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    def bstep(carry, xs):
+        a_nxt, ebar_nxt, sbar_nxt, gC, gig, gog = carry
+        qh, s, grec_prev = xs
+        u_k = dec(qh, s)
+        sbar = _mul_sponge(a_nxt, sponge)
+        ebar = ig * sbar
+        lap_k = _laplacian(u_k, order=order)
+        gC = gC + lap_k * ebar
+        gig = gig + (sbar * (2.0 * u_k + C * lap_k)
+                     - og * (u_k * sbar_nxt))
+        gog = gog - u_k * ebar_nxt
+        a_k = (2.0 * ebar + _laplacian(C * ebar, order=order)
+               - og * ebar_nxt) + inject(grec_prev)
+        return (a_k, ebar, sbar, gC, gig, gog), None
+
+    carry0 = (inject(dd[-1]),) + (u0,) * 5
+    (_, _, _, gC, gig, gog), _ = lax.scan(
+        bstep, carry0, (hist, scales, dd_shift), reverse=True)
+
+    gc = gC * (2.0 * c) * jnp.asarray((dt * dt) / (dx * dx), dtype)
+    gg = -gog - (ig * ig) * gig
+    gQ = -gg * (g_raw / qf)
+    return gc, gQ
 
 
 def q_wave_propagator(
@@ -1992,24 +2255,7 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
         return (_iota_src_mask(shape, src_idx, amp) if iota_src
                 else dense_mask)
 
-    if store == "f32":
-        enc = lambda u: (u, jnp.ones((), dtype))                # noqa: E731
-        dec = lambda q, s: q                                    # noqa: E731
-    elif store == "bf16":
-        enc = lambda u: (u.astype(jnp.bfloat16),                # noqa: E731
-                         jnp.ones((), dtype))
-        dec = lambda q, s: q.astype(dtype)                      # noqa: E731
-    elif store == "int8":
-        def enc(u):
-            s = jnp.maximum(jnp.max(jnp.abs(u)),
-                            jnp.asarray(1e-30, dtype))
-            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
-
-        dec = lambda q, s: q.astype(dtype) * (s / 127.0)        # noqa: E731
-    else:
-        raise ValueError(
-            f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
-        )
+    enc, dec = _store_codec(store, dtype)
 
     def Lh(u):
         out = _d2_axis(u, 1, inv_dx2, order)
@@ -2670,24 +2916,7 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
         size *= int(s)
     amp = jnp.asarray(dt * dt, dtype)
 
-    if store == "f32":
-        enc = lambda u: (u, jnp.ones((), dtype))                # noqa: E731
-        dec = lambda q, s: q                                    # noqa: E731
-    elif store == "bf16":
-        enc = lambda u: (u.astype(jnp.bfloat16),                # noqa: E731
-                         jnp.ones((), dtype))
-        dec = lambda q, s: q.astype(dtype)                      # noqa: E731
-    elif store == "int8":
-        def enc(u):
-            s = jnp.maximum(jnp.max(jnp.abs(u)),
-                            jnp.asarray(1e-30, dtype))
-            return jnp.round(u * (127.0 / s)).astype(jnp.int8), s
-
-        dec = lambda q, s: q.astype(dtype) * (s / 127.0)        # noqa: E731
-    else:
-        raise ValueError(
-            f"store must be one of ('f32', 'bf16', 'int8'), got {store!r}"
-        )
+    enc, dec = _store_codec(store, dtype)
 
     def _dij(u, i, j):
         return _d1_axis(_d1_axis(u, i, inv_dx, order), j, inv_dx, order)
@@ -2729,16 +2958,19 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
     # ---- forward history sweep ----------------------------------------
     can_fuse = isinstance(sponge, tuple) and len(shape) == 3
     if can_fuse:
-        from .pallas_wave import fits_tti_pallas
+        from .pallas_wave import fits_tti_adjoint_pallas, fits_tti_pallas
 
-        can_fuse = fits_tti_pallas(shape, dtype, order,
-                                   2 if coeff16 else 4)
+        can_fuse = (fits_tti_pallas(shape, dtype, order,
+                                    2 if coeff16 else 4)
+                    and fits_tti_adjoint_pallas(shape, dtype, order, store,
+                                                2 if coeff16 else 4))
     if fused is None:
         fused = can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
         raise ValueError(
-            "fused TTI stored-adjoint forward sweep requires a 3-D f32 "
-            "grid with lane/sublane-aligned minor dims"
+            "fused TTI stored-adjoint requires a 3-D f32 grid with "
+            "lane/sublane-aligned minor dims (the history and coefficient "
+            "dtypes tighten the sublane requirement)"
         )
 
     if fused:
@@ -2799,6 +3031,62 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
     dd = dd.astype(dtype)
     dd_shift = jnp.concatenate(
         [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
+
+    if fused:
+        # ---- reverse sweep on the fused TTI adjoint kernel (paired like
+        # the isotropic/VTI reverse so every aliased slot is written
+        # fresh; odd nt front-pads a no-op k=-1 step).
+        from .pallas_wave import fused_tti_adjoint_step
+
+        kc5r = kc if kc is not None else (ah, av, nz, ny, nx)
+
+        def adj_one(ap1, aq1, ap2, aq2, accs, pq, psv, qq, qsv, g):
+            one = jnp.asarray(1.0, dtype)
+            psc = (psv / 127.0) if store == "int8" else one
+            qsc = (qsv / 127.0) if store == "int8" else one
+            ap_core, aq_core, *accs = fused_tti_adjoint_step(
+                ap1, aq1, ap2, aq2, *accs, C, *kc5r, pq, qq,
+                psc, qsc, inv_dx2, inv_dx, spz, spy, spx,
+                order=order, interpret=interp)
+            ap_k = ap_core.reshape(-1).at[rcv_idx].add(g).reshape(shape)
+            return ap_k, aq_core, tuple(accs)
+
+        def bpair(carry, xs):
+            ap1, aq1, ap2, aq2, accs = carry
+            p2, ps2, q2, qs2, g2 = xs
+            ap_hi, aq_hi, accs = adj_one(
+                ap1, aq1, ap2, aq2, accs,
+                p2[1], ps2[1], q2[1], qs2[1], g2[1])
+            ap_lo, aq_lo, accs = adj_one(
+                ap_hi, aq_hi, ap1, aq1, accs,
+                p2[0], ps2[0], q2[0], qs2[0], g2[0])
+            return (ap_lo, aq_lo, ap_hi, aq_hi, accs), None
+
+        padr = nt % 2
+        ph_r, ps_r, qh_r, qs_r, grec_r = ph, ps, qh, qs, dd_shift
+        if padr:
+            ph_r = jnp.concatenate([jnp.zeros_like(ph[:1]), ph])
+            ps_r = jnp.concatenate([jnp.ones_like(ps[:1]), ps])
+            qh_r = jnp.concatenate([jnp.zeros_like(qh[:1]), qh])
+            qs_r = jnp.concatenate([jnp.ones_like(qs[:1]), qs])
+            grec_r = jnp.concatenate(
+                [jnp.zeros_like(dd_shift[:1]), dd_shift])
+        nt2 = nt + padr
+        xsr = tuple(
+            a.reshape((nt2 // 2, 2) + a.shape[1:])
+            for a in (ph_r, ps_r, qh_r, qs_r, grec_r))
+        z0 = jnp.zeros(shape, dtype) + zero
+        carry0 = (inject(dd[-1]), z0, z0, z0, (z0,) * 6)
+        (_, _, _, _, accs), _ = lax.scan(bpair, carry0, xsr, reverse=True)
+        gC, gah_a, gav_a, gnz_a, gny_a, gnx_a = accs
+        gc = gC * (2.0 * c) * jnp.asarray(dt * dt, dtype)
+        geps = 2.0 * gah_a
+        gdelta = gav_a / av_raw
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        cph, sph = jnp.cos(phi), jnp.sin(phi)
+        gtheta = -sth * gnz_a + (cth * cph) * gny_a + (cth * sph) * gnx_a
+        gphi = (-sth * sph) * gny_a + (sth * cph) * gnx_a
+        return gc, geps, gdelta, gtheta, gphi
 
     def bstep(carry, xs):
         ap1, aq1, ebp1, ebq1, gC, gah, gav, gnz, gny, gnx = carry
@@ -2911,7 +3199,7 @@ def tti_wave_propagator(
     coeff_isz = (2 if coeff_dtype is not None
                  and jnp.dtype(coeff_dtype) == jnp.bfloat16 else 4)
     if fused:
-        from .pallas_wave import fits_tti_pallas
+        from .pallas_wave import fits_tti_adjoint_pallas, fits_tti_pallas
 
         if q is not None:
             raise ValueError("fused TTI step does not support static Q")
@@ -2921,6 +3209,13 @@ def tti_wave_propagator(
                 "fused TTI step requires a 3-D f32 grid with "
                 "lane/sublane-aligned minor dims (W%128==0, H%8==0; "
                 "H%16==0 for bf16 coefficients)"
+            )
+        if store_adjoint is not None and not fits_tti_adjoint_pallas(
+                grid_shape, dtype, space_order, store_adjoint, coeff_isz):
+            raise ValueError(
+                "fused TTI stored-adjoint infeasible for this config "
+                "(history dtype tightens the sublane requirement: "
+                "H%16==0 for bf16, H%32==0 for int8)"
             )
     og = ig = None
     if q is not None:

@@ -896,3 +896,153 @@ def test_fused_vti_stored_adjoint_odd_nt_and_gating():
     assert not fits_vti_adjoint_pallas(SHAPE, jnp.float32, 2, "int8")
     with pytest.raises(ValueError, match="stored-adjoint"):
         vti_wave_propagator(SHAPE, nt=4, fused=True, store_adjoint="int8")
+
+
+# ---------------------------------------------------------------------- #
+# fused TTI adjoint (reverse-sweep) step — the production gradient path
+# ---------------------------------------------------------------------- #
+
+
+def test_fused_tti_adjoint_step_bit_exact_order2():
+    from jets_tpu.ops.pallas_wave import fused_tti_adjoint_step
+    from jets_tpu.ops.wave import _d1_axis, _d2_axis
+
+    D, H, W = SHAPE
+    keys = jax.random.split(jax.random.PRNGKey(41), 17)
+    ap1, aq1, ap2, aq2 = (jax.random.normal(keys[k], SHAPE, jnp.float32)
+                          for k in range(4))
+    accs = tuple(jax.random.normal(keys[4 + k], SHAPE, jnp.float32)
+                 for k in range(6))
+    C = jax.random.uniform(keys[10], SHAPE, jnp.float32) + 0.5
+    ah = jax.random.uniform(keys[11], SHAPE, jnp.float32) + 1.0
+    av = jax.random.uniform(keys[12], SHAPE, jnp.float32) + 1.0
+    th = 0.4 * jax.random.normal(keys[13], SHAPE, jnp.float32)
+    phi = jax.random.normal(keys[14], SHAPE, jnp.float32)
+    nz = jnp.cos(th)
+    ny = jnp.sin(th) * jnp.cos(phi)
+    nx = jnp.sin(th) * jnp.sin(phi)
+    p = jax.random.normal(keys[15], SHAPE, jnp.float32)
+    q = jax.random.normal(keys[16], SHAPE, jnp.float32)
+    sz = jnp.linspace(0.9, 1.0, D, dtype=jnp.float32)
+    sy = jnp.linspace(0.8, 1.0, H, dtype=jnp.float32)
+    sx = jnp.linspace(0.7, 1.0, W, dtype=jnp.float32)
+    inv_dx2 = jnp.float32(0.01)
+    inv_dx = jnp.float32(0.1)
+
+    czz, cyy, cxx = nz * nz, ny * ny, nx * nx
+    czy, czx, cyx = 2.0 * nz * ny, 2.0 * nz * nx, 2.0 * ny * nx
+
+    def _dij(u, i, j):
+        return _d1_axis(_d1_axis(u, i, inv_dx, 2), j, inv_dx, 2)
+
+    def derivs(u):
+        return (_d2_axis(u, 0, inv_dx2, 2), _d2_axis(u, 1, inv_dx2, 2),
+                _d2_axis(u, 2, inv_dx2, 2),
+                _dij(u, 0, 1), _dij(u, 0, 2), _dij(u, 1, 2))
+
+    def HT(w):
+        return (_d2_axis((1.0 - czz) * w, 0, inv_dx2, 2)
+                + _d2_axis((1.0 - cyy) * w, 1, inv_dx2, 2)
+                + _d2_axis((1.0 - cxx) * w, 2, inv_dx2, 2)
+                - _dij(czy * w, 0, 1) - _dij(czx * w, 0, 2)
+                - _dij(cyx * w, 1, 2))
+
+    def VT(w):
+        return (_d2_axis(czz * w, 0, inv_dx2, 2)
+                + _d2_axis(cyy * w, 1, inv_dx2, 2)
+                + _d2_axis(cxx * w, 2, inv_dx2, 2)
+                + _dij(czy * w, 0, 1) + _dij(czx * w, 0, 2)
+                + _dij(cyx * w, 1, 2))
+
+    @jax.jit
+    def xla_ref(ap1, aq1, ap2, aq2, accs, p, q):
+        gC, gah, gav, gnz, gny, gnx = accs
+        S = (sz[:, None, None] * sy[None, :, None]) * sx.reshape(1, 1, W)
+        ebp, ebq = ap1 * S, aq1 * S
+        ebp1, ebq1 = ap2 * S, aq2 * S
+        dp6, dq6 = derivs(p), derivs(q)
+        Hp = ((1.0 - czz) * dp6[0] + (1.0 - cyy) * dp6[1]
+              + (1.0 - cxx) * dp6[2]
+              - czy * dp6[3] - czx * dp6[4] - cyx * dp6[5])
+        Vq = (czz * dq6[0] + cyy * dq6[1] + cxx * dq6[2]
+              + czy * dq6[3] + czx * dq6[4] + cyx * dq6[5])
+        gC = gC + ((ah * Hp + av * Vq) * ebp + (av * Hp + Vq) * ebq)
+        gah_ = gah + (C * Hp) * ebp
+        gav_ = gav + C * (Vq * ebp + Hp * ebq)
+        dz_c = [C * ((av * q_d - ah * p_d) * ebp + (q_d - av * p_d) * ebq)
+                for p_d, q_d in zip(dp6, dq6)]
+        dczz, dcyy, dcxx, dczy, dczx, dcyx = dz_c
+        gnz_ = gnz + (2.0 * nz * dczz + 2.0 * ny * dczy + 2.0 * nx * dczx)
+        gny_ = gny + (2.0 * ny * dcyy + 2.0 * nz * dczy + 2.0 * nx * dcyx)
+        gnx_ = gnx + (2.0 * nx * dcxx + 2.0 * nz * dczx + 2.0 * ny * dcyx)
+        ap = (2.0 * ebp + HT(C * ah * ebp) + HT(C * av * ebq)) - ebp1
+        aq = (2.0 * ebq + VT(C * av * ebp) + VT(C * ebq)) - ebq1
+        return ap, aq, gC, gah_, gav_, gnz_, gny_, gnx_
+
+    out = fused_tti_adjoint_step(
+        ap1, aq1, ap2, aq2, *accs, C, ah, av, nz, ny, nx, p, q,
+        jnp.float32(1.0), jnp.float32(1.0), inv_dx2, inv_dx, sz,
+        sy.reshape(H, 1), sx.reshape(1, W), order=2, interpret=True)
+    ref = xla_ref(ap1, aq1, ap2, aq2, accs, p, q)
+    for k, (got, want) in enumerate(zip(out, ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=2e-5, err_msg=f"out {k}")
+
+
+def _tti_model(F, shape):
+    full = lambda v: jnp.full(shape, v, jnp.float32)  # noqa: E731
+    m = F.dom.zeros()
+    for b, v in enumerate((1500.0, 0.1, 0.05, 0.2, 0.7)):
+        m = m.setblock(b, full(v))
+    return m
+
+
+@pytest.mark.parametrize("store,tol",
+                         [("f32", 5e-5), ("bf16", 2e-2), ("int8", 5e-2)])
+def test_fused_tti_stored_adjoint_matches_xla(store, tol):
+    """Whole fused TTI stored-adjoint sweep vs the XLA stored path, per
+    model block (all five parameters incl. tilt and azimuth)."""
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    kw = dict(AKW, store_adjoint=store)
+    Ff = tti_wave_propagator(ASHAPE, fused=True, **kw)
+    Fx = tti_wave_propagator(ASHAPE, fused=False, **kw)
+    m0 = _tti_model(Fx, ASHAPE)
+    d = Fx(m0.setblock(0, jnp.full(ASHAPE, 1530.0, jnp.float32))) - Fx(m0)
+    _assert_live(d)
+    gf = Ff.linearize(m0).H(d)
+    gx = Fx.linearize(m0).H(d)
+    for b in range(5):
+        f = np.asarray(gf.getblock(b))
+        x = np.asarray(gx.getblock(b))
+        scale = float(np.max(np.abs(x)))
+        assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+        np.testing.assert_allclose(f / scale, x / scale, rtol=0, atol=tol)
+
+
+def test_fused_tti_stored_adjoint_bf16_coeff_and_odd_nt():
+    """bf16-coefficient fused reverse matches the XLA stored sweep on the
+    same rounded coefficients; odd nt exercises both padding paths."""
+    from jets_tpu.ops.pallas_wave import fits_tti_adjoint_pallas
+    from jets_tpu.ops.wave import tti_wave_propagator
+
+    kw = dict(AKW, nt=25, store_adjoint="f32",
+              coeff_dtype=jnp.bfloat16)
+    Ff = tti_wave_propagator(ASHAPE, fused=True, **kw)
+    Fx = tti_wave_propagator(ASHAPE, fused=False, **kw)
+    m0 = _tti_model(Fx, ASHAPE)
+    d = Fx(m0.setblock(0, jnp.full(ASHAPE, 1530.0, jnp.float32))) - Fx(m0)
+    _assert_live(d)
+    gf = Ff.linearize(m0).H(d)
+    gx = Fx.linearize(m0).H(d)
+    for b in range(5):
+        f = np.asarray(gf.getblock(b))
+        x = np.asarray(gx.getblock(b))
+        scale = float(np.max(np.abs(x)))
+        assert scale > 0.0
+        np.testing.assert_allclose(f / scale, x / scale, rtol=0, atol=5e-5)
+
+    assert fits_tti_adjoint_pallas(ASHAPE, jnp.float32, 2, "int8")
+    assert not fits_tti_adjoint_pallas(SHAPE, jnp.float32, 2, "int8")
+    with pytest.raises(ValueError, match="stored-adjoint"):
+        tti_wave_propagator(SHAPE, nt=4, fused=True, store_adjoint="int8")
