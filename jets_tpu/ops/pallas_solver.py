@@ -19,7 +19,7 @@ dominant segments to their minimal HBM pass counts; measured on TPU v5e
   the XLA pad+sweep+axpy+norm chain (3.1×). The stencil add order matches
   ``ops/stencil.laplacian_nd`` BIT-EXACTLY (verified at s=0).
 * :func:`laplacian3d` — the same slab pipeline without the axpy/norm
-  epilogue: the 3-D extension of ``ops/pallas_stencil.laplacian2d_pallas``.
+  epilogue (slab-pipelined double-buffered DMA ring over the z axis).
 
 All kernels run in interpret mode on CPU (correctness tests); the solver
 fast paths only select them on the TPU backend in the HBM regime (arrays

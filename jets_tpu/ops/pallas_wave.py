@@ -1455,11 +1455,11 @@ def _vti_adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk,
                                 + d2_z(w4, s_c)) - ebq1
 
 
-# in-loop sweep pending on hardware (the iso adjoint favored the biggest
-# tile; the VTI window lists keep more slices live, so start at a budget
-# that selects T=2 at 256³ — declared ≈21 MB + ~5 MB window temporaries)
-_VTI_ADJ_VMEM_BUDGET = 24 * 2**20
-_VTI_ADJ_VMEM_LIMIT = 34 * 2**20
+# swept in-loop at 256³ (r5, int8 gradient fwd+rev, whole-sweep marginal):
+# T=2 (budget 24/limit 34) → 3508 µs/step, T=4 (40/44) → 3380 — the
+# bigger tile wins as for the iso adjoint; T=8 is VMEM-infeasible.
+_VTI_ADJ_VMEM_BUDGET = 40 * 2**20
+_VTI_ADJ_VMEM_LIMIT = 44 * 2**20
 
 
 def vti_adjoint_step_tile(shape, order: int, store_itemsize: int = 4):
@@ -1801,9 +1801,10 @@ def _tti_adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk,
         aqo_blk[pl.ds(t, 1)] = (2.0 * ebq_c + vt_of(w3) + vt_of(w4)) - ebq1
 
 
-# the TTI reverse holds ~18 window slice lists live; keep the declared
-# budget low enough that 256³ lands on T=1 until an in-loop hardware sweep
-# says otherwise (declared ≈22 MB at T=1 + ~8 MB window temporaries)
+# swept in-loop at 256³ (r5, int8 gradient fwd+rev, whole-sweep marginal):
+# T=1 (budget 24/limit 44) → 5830 µs/step; T=2 (budget 36, declared
+# ≈35 MB + ~16 MB window lists) CRASHED the TPU compiler subprocess —
+# the ~18 live window slice lists put T=2 past the 44 MB scoped ceiling.
 _TTI_ADJ_VMEM_BUDGET = 24 * 2**20
 _TTI_ADJ_VMEM_LIMIT = 44 * 2**20
 

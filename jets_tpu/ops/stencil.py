@@ -5,9 +5,12 @@ family, ``docs/src/index.md:14-19``).
 The generic path lowers to ``lax.conv_general_dilated`` with SAME padding —
 XLA maps these onto the TPU convolution path and *transposes them into
 convolutions* for the derived adjoint, so both directions run at conv speed.
-A fused Pallas kernel for the hot separable/small-stencil cases lives in
-``pallas_stencil.py``; both implementations are gated by the same dot-product
-test and cross-checked against each other in the test-suite.
+The fused 3-D Pallas kernels live in ``pallas_solver.py``; the hand-written
+2-D stencil kernel was RETIRED in r5 after three rounds at parity-at-best
+with the XLA HBM bound (21 vs 19 µs on a 2048² f32 grid): in the 2-D
+VMEM-resident regime XLA already emits a single fused pass, so a manual
+DMA pipeline has nothing left to save (docs §7 records the lesson) —
+``impl="pallas"`` on 2-D grids therefore routes to the XLA path.
 """
 from __future__ import annotations
 
@@ -144,13 +147,9 @@ _LAPLACIAN_DF = {2: _laplacian_df, 4: _laplacian4_df, 8: _laplacian8_df}
 
 
 def _laplacian_pallas_df(dm, m0, state):
-    if dm.ndim == 3:
-        from .pallas_solver import laplacian3d
+    from .pallas_solver import laplacian3d
 
-        return laplacian3d(dm, interpret=state["interpret"])
-    from .pallas_stencil import laplacian2d_pallas
-
-    return laplacian2d_pallas(dm, interpret=state["interpret"])
+    return laplacian3d(dm, interpret=state["interpret"])
 
 
 def laplacian_operator(
@@ -163,20 +162,23 @@ def laplacian_operator(
 
     ``impl="xla"`` (default): shift-and-add slices — measured at the HBM
     bandwidth bound on TPU v5e (19 µs for a 2048² f32 grid).
-    ``impl="pallas"``: hand-written zero-copy DMA pipelines — 2-D
-    (``pallas_stencil.py``: predicated halo DMAs, bit-exact, at parity
-    with XLA's 21 µs HBM bound) and 3-D (``pallas_solver.laplacian3d``:
-    slab-pipelined double-buffered ring, bit-exact; its axpy/norm-fused
-    sibling ``lap3d_axpy_norm2`` is the solver epilogue that beats the XLA
-    chain 3.1× on 256³). On CPU backends both run in interpret mode.
+    ``impl="pallas"``: the hand-written 3-D slab-pipelined DMA ring
+    (``pallas_solver.laplacian3d``, bit-exact; its axpy/norm-fused sibling
+    ``lap3d_axpy_norm2`` is the solver epilogue that beats the XLA chain
+    3.1× on 256³; interpret mode on CPU). On 2-D grids ``impl="pallas"``
+    routes to the XLA path: the hand-written 2-D kernel measured
+    parity-at-best for three rounds (VMEM-resident regime — XLA already
+    fuses the whole pass) and was retired in r5 (docs §7).
     """
     sp = Space(shape, dtype)
     if order not in _D2_COEFFS:
         raise ValueError(f"order must be one of {sorted(_D2_COEFFS)}")
+    if impl == "pallas" and len(shape) == 2:
+        impl = "xla"   # retired 2-D kernel: XLA is the measured bound
     if impl == "pallas":
-        if len(shape) not in (2, 3) or jnp.dtype(dtype) != jnp.float32:
+        if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
             raise ValueError(
-                "pallas laplacian supports 2-D/3-D float32 grids"
+                "pallas laplacian supports 3-D float32 grids"
             )
         if order != 2:
             raise ValueError("pallas laplacian implements order=2 only")

@@ -809,6 +809,9 @@ def multishot_wave_operator(
     window_shape: Optional[Sequence[int]] = None,
     dtrec: Optional[float] = None,
     store_adjoint: Optional[str] = None,
+    free_surface: bool = False,
+    boundary: str = "sponge",
+    cmax: float = 4000.0,
     mesh=None,
     axis: str = "block",
     shot_map: str = "vmap",
@@ -845,6 +848,16 @@ def multishot_wave_operator(
     rides the fused Pallas forward AND reverse kernels, the production
     FWI/RTM gradient path (shot contributions still accumulate via the
     stacked psum, the reference's block-adjoint loop).
+
+    **Boundaries** (marine production multishot): ``free_surface=True``
+    leaves the top edge of axis 0 undamped — the zero-padded stencil
+    boundary there is a pressure-release surface producing the surface
+    ghost/multiples (JetPackWaveFD's free-surface option, as on the
+    single-shot propagators). ``boundary="cpml"`` swaps the cosine sponge
+    for Pasalic–McGarry convolutional PML per shot (``cmax`` scales the
+    static damping profiles); CPML shots ride the XLA step and the
+    autodiff adjoint (``store_adjoint``/ginsu compose with the sponge
+    boundary only).
     """
     from ..parallel.sharded import stacked_block_operator
 
@@ -889,7 +902,23 @@ def multishot_wave_operator(
         rcv_idx = jnp.arange(0, n, max(1, n // 128))[:128]
     rcv_idx = jnp.asarray(rcv_idx, jnp.int32)
     wavelet = _ricker(nt, dt, freq, dtype)
-    sponge = _make_sponge(prop_shape, sponge_width, dtype=dtype)
+    if boundary not in ("sponge", "cpml"):
+        raise ValueError(
+            f"boundary must be 'sponge' or 'cpml', got {boundary!r}")
+    use_cpml = boundary == "cpml"
+    if use_cpml and store_adjoint is not None:
+        raise ValueError(
+            "store_adjoint is not available with CPML boundaries (the "
+            "stored sweep transposes the sponge scheme); CPML shots use "
+            "the autodiff adjoint")
+    if use_cpml and window_shape is not None:
+        raise ValueError("ginsu windowing composes with boundary='sponge'")
+    sponge = _make_sponge(prop_shape, sponge_width,
+                          free_surface=free_surface, dtype=dtype)
+    if use_cpml:
+        a_prof, b_prof = _cpml_profiles(
+            prop_shape, sponge_width, dt, dx, cmax, freq, dtype=dtype,
+            free_surface=free_surface)
 
     ntrec, _resample = _trace_resampler(nt, dt, dtrec, dtype)
 
@@ -897,14 +926,21 @@ def multishot_wave_operator(
         if window_shape is not None:
             starts = tuple(bs["corner"][i] for i in range(len(prop_shape)))
             c = lax.dynamic_slice(c, starts, prop_shape)
-        traces = _propagate(
-            c, bs["wavelet"], bs["src"], bs["rcv"],
-            dt=dt, dx=dx, sponge=bs["sponge"], remat_blocks=remat_blocks,
-            order=space_order,
-            # vmapped shots can't run the fused kernel (manual DMAs don't
-            # batch); sequential lax.map shots can — auto-select there
-            fused=None if shot_map == "map" else False,
-        )
+        if use_cpml:
+            traces = _propagate_cpml(
+                c, bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, a_prof=bs["a_prof"], b_prof=bs["b_prof"],
+                order=space_order, remat_blocks=remat_blocks,
+            )
+        else:
+            traces = _propagate(
+                c, bs["wavelet"], bs["src"], bs["rcv"],
+                dt=dt, dx=dx, sponge=bs["sponge"],
+                remat_blocks=remat_blocks, order=space_order,
+                # vmapped shots can't run the fused kernel (manual DMAs
+                # don't batch); sequential lax.map shots can
+                fused=None if shot_map == "map" else False,
+            )
         return _resample(traces) if _resample is not None else traces
 
     def shot_df(dc, c0, bs):
@@ -951,12 +987,16 @@ def multishot_wave_operator(
     bstate = {"src": src_indices}
     if window_shape is not None:
         bstate["corner"] = window_corners
+    sstate = {"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx}
+    if use_cpml:
+        sstate["a_prof"] = tuple(a_prof)
+        sstate["b_prof"] = tuple(b_prof)
     return stacked_block_operator(
         nblocks=nshots,
         dom=sp,
         rng_block=Space((ntrec, int(rcv_idx.shape[0])), dtype),
         bstate=bstate,
-        sstate={"wavelet": wavelet, "sponge": sponge, "rcv": rcv_idx},
+        sstate=sstate,
         f=shot_f,
         df=shot_df,
         dft=shot_dft,
@@ -1498,6 +1538,7 @@ def vdq_wave_propagator(
     sponge_width: int = 12,
     remat_blocks: int = 1,
     dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Full IsoDenQ physics ``F: (c, b, Q) → traces`` — velocity, buoyancy
@@ -1506,7 +1547,14 @@ def vdq_wave_propagator(
     ``BlockSpace([grid, grid, grid])``; the adjoint returns the
     (δc, δb, δQ) gradient triple in one reverse pass. With ``Q → ∞`` this
     reduces bit-exactly to :func:`vd_wave_propagator` (no damping factors
-    enter the update)."""
+    enter the update).
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} switches the adjoint
+    to the hand-derived STORED-history sweep (:func:`_adjoint_stored_vd`
+    with the Kosloff friction transposed in-register) — the exact
+    production imaging path of the reference family's DenQ propagators:
+    compressed stored wavefields, no recompute
+    (``/root/reference/docs/src/index.md:17``)."""
     from ..core.blockspace import BlockSpace
 
     grid_shape = tuple(int(s) for s in grid_shape)
@@ -1540,10 +1588,34 @@ def vdq_wave_propagator(
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (dd,) = rvjp(dd)
+            gc, gb, gQ = _adjoint_stored_vd(
+                m0.getblock(0).reshape(grid_shape),
+                m0.getblock(1).reshape(grid_shape),
+                m0.getblock(2).reshape(grid_shape), dd,
+                state["wavelet"], state["src_idx"], state["rcv_idx"],
+                dt=dt, dx=dx, f0=f0v, sponge=state["sponge"],
+                store=store_adjoint,
+            )
+            return (dom.zeros().setblock(0, gc).setblock(1, gb)
+                    .setblock(2, gQ))
 
     j = Jet(
         dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
@@ -1827,6 +1899,7 @@ def q_wave_propagator(
     fused=None,
     dtrec: Optional[float] = None,
     coeff_dtype=None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Two-parameter visco-acoustic forward modeling ``F: (c, Q) → traces``
@@ -1893,10 +1966,33 @@ def q_wave_propagator(
         _, tangent = jax.jvp(lambda m: _f(m, state), (m0,), (dm,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda m: _f(m, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda m: _f(m, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample,
+                    jnp.zeros((nt, int(rcv_idx.shape[0])), dtype))
+                (dd,) = rvjp(dd)
+            gc, gQ = _adjoint_stored_q(
+                m0.getblock(0).reshape(grid_shape),
+                m0.getblock(1).reshape(grid_shape), dd,
+                state["wavelet"], state["src_idx"], state["rcv_idx"],
+                dt=dt, dx=dx, f0=f0, sponge=state["sponge"],
+                order=space_order, store=store_adjoint,
+                coeff_dtype=coeff_dtype,
+            )
+            return dom.zeros().setblock(0, gc).setblock(1, gQ)
 
     j = Jet(
         dom=dom, rng=rng, f=_f, df=_df, dft=_dft,
@@ -2210,7 +2306,7 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
 
 def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
                         dt, dx, sponge, order: int = 2, store: str = "int8",
-                        fused=None):
+                        fused=None, og=None, ig=None):
     """Adjoint-state gradient ``(∂F/∂(c,ε,δ))ᵀ dd`` for the coupled
     pseudo-acoustic VTI system with a STORED (encoded) two-field forward
     history — the anisotropic sibling of :func:`_adjoint_stored`. The
@@ -2271,7 +2367,10 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
     nt = int(src_wavelet.shape[0])
 
     # ---- forward history sweep (both fields encoded per step) ----------
-    can_fuse = iota_src and isinstance(sponge, tuple) and len(shape) == 3
+    # static-Q friction (og/ig fields) rides the XLA sweeps: the fused
+    # kernels take no friction factors
+    can_fuse = (og is None and iota_src and isinstance(sponge, tuple)
+                and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_vti_adjoint_pallas, fits_vti_pallas
 
@@ -2321,8 +2420,13 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
             p_prev, p, q_prev, q = carry
             lh = Lh(p)
             dzz = Dz(q)
-            e_p = 2.0 * p - p_prev + C * (ah * lh + av * dzz)
-            e_q = 2.0 * q - q_prev + C * (av * lh + dzz)
+            if og is None:
+                e_p = 2.0 * p - p_prev + C * (ah * lh + av * dzz)
+                e_q = 2.0 * q - q_prev + C * (av * lh + dzz)
+            else:
+                e_p = (2.0 * p - og * p_prev
+                       + C * (ah * lh + av * dzz)) * ig
+                e_q = (2.0 * q - og * q_prev + C * (av * lh + dzz)) * ig
             p_next = _mul_sponge(e_p, sponge) + s_t * mask()
             q_next = _mul_sponge(e_q, sponge) + s_t * mask()
             return (p, p_next, q, q_next), (enc(p), enc(q))
@@ -2398,17 +2502,26 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
         pq, psc, qq, qsc, grec_prev = xs
         p_k = dec(pq, psc)
         q_k = dec(qq, qsc)
+        # static Q: the ig diagonal precedes every linear term (the whole
+        # update is scaled by 1/(1+g)), and the leapfrog memory term
+        # carries og = 1-g — the transposed recurrence picks up the SAME
+        # in-register factors (Q itself is static, not differentiated)
         ebp = _mul_sponge(ap1, sponge)
         ebq = _mul_sponge(aq1, sponge)
+        if og is not None:
+            ebp = ebp * ig
+            ebq = ebq * ig
         lh_k = Lh(p_k)
         dzz_k = Dz(q_k)
         gC = gC + ((ah * lh_k + av * dzz_k) * ebp
                    + (av * lh_k + dzz_k) * ebq)
         gah = gah + (C * lh_k) * ebp
         gav = gav + C * (dzz_k * ebp + lh_k * ebq)
+        ebp1s = ebp1 if og is None else og * ebp1
+        ebq1s = ebq1 if og is None else og * ebq1
         ap = (2.0 * ebp + Lh(C * ah * ebp) + Lh(C * av * ebq)
-              - ebp1) + inject(grec_prev)
-        aq = (2.0 * ebq + Dz(C * av * ebp) + Dz(C * ebq)) - ebq1
+              - ebp1s) + inject(grec_prev)
+        aq = (2.0 * ebq + Dz(C * av * ebp) + Dz(C * ebq)) - ebq1s
         return (ap, aq, ebp, ebq, gC, gah, gav), None
 
     carry0 = (inject(dd[-1]), u0, u0, u0, u0, u0, u0)
@@ -2525,12 +2638,6 @@ def vti_wave_propagator(
                 "store_adjoint must be one of (None, 'f32', 'bf16', "
                 f"'int8'), got {store_adjoint!r}"
             )
-        if q is not None:
-            raise ValueError(
-                "store_adjoint is not available with static Q (the "
-                "hand-derived sweep transposes the lossless system)"
-            )
-
         def _dft(dd, m0, state):
             if _resample is not None:
                 _, rvjp = jax.vjp(
@@ -2541,7 +2648,8 @@ def vti_wave_propagator(
                 m0.getblock(0), m0.getblock(1), m0.getblock(2), dd,
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-                store=store_adjoint, fused=fused,
+                store=store_adjoint,
+                fused=False if q is not None else fused, og=og, ig=ig,
             )
             return (dom.zeros().setblock(0, gc).setblock(1, geps)
                     .setblock(2, gdelta))
@@ -2863,7 +2971,7 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
 def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
                           src_idx, rcv_idx, *, dt, dx, sponge,
                           order: int = 2, store: str = "int8", fused=None,
-                          coeff_dtype=None):
+                          coeff_dtype=None, og=None, ig=None):
     """Adjoint-state gradient ``(∂F/∂(c,ε,δ,θ,φ))ᵀ dd`` for the 3-D
     tilted-TI system with a STORED two-field history — the TTI sibling of
     :func:`_adjoint_stored_vti`. Every rotated derivative (∂ᵢᵢ and the
@@ -2956,7 +3064,10 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
     nt = int(src_wavelet.shape[0])
 
     # ---- forward history sweep ----------------------------------------
-    can_fuse = isinstance(sponge, tuple) and len(shape) == 3
+    # static-Q friction rides the XLA sweeps (the fused kernels take no
+    # friction factors)
+    can_fuse = (og is None and isinstance(sponge, tuple)
+                and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_tti_adjoint_pallas, fits_tti_pallas
 
@@ -3014,8 +3125,15 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
             p_prev, p, q_prev, q = carry
             dp6 = derivs(p)
             dq6 = derivs(q)
-            e_p = 2.0 * p - p_prev + C * (ah * H_of(dp6) + av * V_of(dq6))
-            e_q = 2.0 * q - q_prev + C * (av * H_of(dp6) + V_of(dq6))
+            if og is None:
+                e_p = (2.0 * p - p_prev
+                       + C * (ah * H_of(dp6) + av * V_of(dq6)))
+                e_q = 2.0 * q - q_prev + C * (av * H_of(dp6) + V_of(dq6))
+            else:
+                e_p = (2.0 * p - og * p_prev
+                       + C * (ah * H_of(dp6) + av * V_of(dq6))) * ig
+                e_q = (2.0 * q - og * q_prev
+                       + C * (av * H_of(dp6) + V_of(dq6))) * ig
             p_next = _mul_sponge(e_p, sponge) + s_t * mask()
             q_next = _mul_sponge(e_q, sponge) + s_t * mask()
             return (p, p_next, q, q_next), (enc(p), enc(q))
@@ -3095,6 +3213,11 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
         q_k = dec(qq, qsc)
         ebp = _mul_sponge(ap1, sponge)
         ebq = _mul_sponge(aq1, sponge)
+        if og is not None:
+            # static Q: ig precedes every linear term; the leapfrog memory
+            # term carries og (Q static, not differentiated)
+            ebp = ebp * ig
+            ebq = ebq * ig
         dp6 = derivs(p_k)
         dq6 = derivs(q_k)
         Hp = H_of(dp6)
@@ -3112,9 +3235,11 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
         gnz = gnz + (2.0 * nz * dczz + 2.0 * ny * dczy + 2.0 * nx * dczx)
         gny = gny + (2.0 * ny * dcyy + 2.0 * nz * dczy + 2.0 * nx * dcyx)
         gnx = gnx + (2.0 * nx * dcxx + 2.0 * nz * dczx + 2.0 * ny * dcyx)
+        ebp1s = ebp1 if og is None else og * ebp1
+        ebq1s = ebq1 if og is None else og * ebq1
         ap = (2.0 * ebp + HT(C * ah * ebp) + HT(C * av * ebq)
-              - ebp1) + inject(grec_prev)
-        aq = (2.0 * ebq + VT(C * av * ebp) + VT(C * ebq)) - ebq1
+              - ebp1s) + inject(grec_prev)
+        aq = (2.0 * ebq + VT(C * av * ebp) + VT(C * ebq)) - ebq1s
         return (ap, aq, ebp, ebq, gC, gah, gav, gnz, gny, gnx), None
 
     carry0 = (inject(dd[-1]),) + (u0,) * 9
@@ -3273,12 +3398,6 @@ def tti_wave_propagator(
                 "store_adjoint on the TTI propagator is 3-D only (the "
                 "2-D tilt path keeps the autodiff adjoint)"
             )
-        if q is not None:
-            raise ValueError(
-                "store_adjoint is not available with static Q (the "
-                "hand-derived sweep transposes the lossless system)"
-            )
-
         def _dft(dd, m0, state):
             if _resample is not None:
                 _, rvjp = jax.vjp(
@@ -3290,8 +3409,9 @@ def tti_wave_propagator(
                 m0.getblock(3), m0.getblock(4), dd,
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
-                store=store_adjoint, fused=fused,
-                coeff_dtype=coeff_dtype,
+                store=store_adjoint,
+                fused=False if q is not None else fused,
+                coeff_dtype=coeff_dtype, og=og, ig=ig,
             )
             out = dom.zeros()
             for b, g in enumerate(g5):

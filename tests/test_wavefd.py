@@ -1332,9 +1332,27 @@ class TestStoredAdjointVTI:
         with pytest.raises(ValueError, match="store_adjoint"):
             vti_wave_propagator(self.SHAPE2, store_adjoint="int4",
                                 **self.KW2)
-        with pytest.raises(ValueError, match="static Q"):
-            vti_wave_propagator(self.SHAPE2, store_adjoint="f32", q=50.0,
-                                **self.KW2)
+
+    def test_static_q_stored_matches_autodiff(self):
+        """store_adjoint composes with static Kosloff Q (the attenuating
+        DenQ variant): the transposed recurrence carries the same og/ig
+        factors, pinned against autodiff through the Q'ed scan."""
+        from jets_tpu.ops.wave import vti_wave_propagator
+
+        Fa = vti_wave_propagator(self.SHAPE2, q=25.0, **self.KW2)
+        Fs = vti_wave_propagator(self.SHAPE2, q=25.0, store_adjoint="f32",
+                                 **self.KW2)
+        m0 = self._model(Fa, self.SHAPE2)
+        d = Fa.rng.randn(jax.random.PRNGKey(66)).astype(jnp.float32)
+        ga = Fa.linearize(m0).H(d)
+        gs = Fs.linearize(m0).H(d)
+        for b in range(3):
+            a = np.asarray(ga.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=1e-5, atol=2e-5)
 
 
 class TestStoredAdjointTTI3D:
@@ -1422,9 +1440,25 @@ class TestStoredAdjointTTI3D:
 
         with pytest.raises(ValueError, match="3-D only"):
             tti_wave_propagator((24, 24), store_adjoint="f32", nt=8)
-        with pytest.raises(ValueError, match="static Q"):
-            tti_wave_propagator(self.SHAPE, store_adjoint="f32", q=50.0,
-                                **self.KW)
+
+    def test_static_q_stored_matches_autodiff(self):
+        """TTI static-Q stored sweep vs autodiff through the Q'ed scan."""
+        from jets_tpu.ops.wave import tti_wave_propagator
+
+        Fa = tti_wave_propagator(self.SHAPE, q=25.0, **self.KW)
+        Fs = tti_wave_propagator(self.SHAPE, q=25.0, store_adjoint="f32",
+                                 **self.KW)
+        m0 = self._model(Fa)
+        d = Fa.rng.randn(jax.random.PRNGKey(76)).astype(jnp.float32)
+        ga = Fa.linearize(m0).H(d)
+        gs = Fs.linearize(m0).H(d)
+        for b in range(5):
+            a = np.asarray(ga.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=1e-4, atol=5e-5)
 
 
 def test_multishot_anisotropic_stored_adjoint_matches_derived():
@@ -1473,3 +1507,192 @@ def test_multishot_anisotropic_stored_adjoint_matches_derived():
                 scale = float(np.max(np.abs(a)))
                 np.testing.assert_allclose(p / scale, a / scale,
                                            rtol=1e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------- #
+# stored adjoints for the DenQ family (q / vd / vdq) — the production
+# Prop*AcoIsoDenQ imaging path: compressed stored wavefields, no recompute
+# ---------------------------------------------------------------------- #
+
+
+class TestStoredAdjointDenQ:
+    SHAPE = (24, 24)
+    KW = dict(nt=36, dt=8e-4, dx=10.0, freq=18.0, src_idx=12 * 24 + 12,
+              sponge_width=4, dtype=jnp.float32)
+
+    def _cmp_blocks(self, ga, gs, nblk, rtol=1e-5, atol=2e-5):
+        for b in range(nblk):
+            a = np.asarray(ga.getblock(b))
+            s = np.asarray(gs.getblock(b))
+            scale = float(np.max(np.abs(a)))
+            assert scale > 0.0, f"vacuous: zero adjoint block {b}"
+            np.testing.assert_allclose(s / scale, a / scale,
+                                       rtol=rtol, atol=atol,
+                                       err_msg=f"block {b}")
+
+    def test_q_f32_storage_matches_autodiff(self):
+        from jets_tpu.ops.wave import q_wave_propagator
+
+        Fa = q_wave_propagator(self.SHAPE, **self.KW)
+        Fs = q_wave_propagator(self.SHAPE, store_adjoint="f32", **self.KW)
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m0 = Fa.dom.zeros().setblock(0, full(1500.0)).setblock(1, full(25.0))
+        d = Fa.rng.randn(jax.random.PRNGKey(81)).astype(jnp.float32)
+        self._cmp_blocks(Fa.linearize(m0).H(d), Fs.linearize(m0).H(d), 2)
+
+    def test_q_dot_gate_and_int8_direction(self):
+        from jets_tpu.ops.wave import q_wave_propagator
+
+        Fs = q_wave_propagator(self.SHAPE, store_adjoint="f32", **self.KW)
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m0 = Fs.dom.zeros().setblock(0, full(1500.0)).setblock(1, full(25.0))
+        J = Fs.linearize(m0)
+        mm = J.dom.randn(jax.random.PRNGKey(82))
+        dd = J.rng.randn(jax.random.PRNGKey(83)).astype(jnp.float32)
+        lhs, rhs = jt.dot_product_test(J, mm, dd)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+        Fa = q_wave_propagator(self.SHAPE, **self.KW)
+        Fi = q_wave_propagator(self.SHAPE, store_adjoint="int8", **self.KW)
+        d = Fa(m0.setblock(0, full(1530.0))) - Fa(m0)
+        assert float(jnp.max(jnp.abs(d))) > 0.0
+        ga = Fa.linearize(m0).H(d)
+        gi = Fi.linearize(m0).H(d)
+        for b in range(2):
+            a = np.asarray(ga.getblock(b)).ravel()
+            i = np.asarray(gi.getblock(b)).ravel()
+            cos = float(np.dot(a, i)
+                        / (np.linalg.norm(a) * np.linalg.norm(i) + 1e-30))
+            assert cos > 0.95, f"block {b} cosine {cos}"
+
+    def test_q_bf16_coeff_mode_matches_autodiff(self):
+        from jets_tpu.ops.wave import q_wave_propagator
+
+        kw = dict(self.KW, coeff_dtype=jnp.bfloat16)
+        Fa = q_wave_propagator(self.SHAPE, **kw)
+        Fs = q_wave_propagator(self.SHAPE, store_adjoint="f32", **kw)
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m0 = Fa.dom.zeros().setblock(0, full(1500.0)).setblock(1, full(25.0))
+        d = Fa.rng.randn(jax.random.PRNGKey(84)).astype(jnp.float32)
+        self._cmp_blocks(Fa.linearize(m0).H(d), Fs.linearize(m0).H(d), 2)
+
+    def test_vd_f32_storage_matches_autodiff(self):
+        Fa = vd_wave_propagator(self.SHAPE, **self.KW)
+        from jets_tpu.ops.wave import vd_wave_propagator as mk
+        Fs = mk(self.SHAPE, store_adjoint="f32", **self.KW)
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m0 = Fa.dom.zeros().setblock(0, full(2000.0)).setblock(1, full(1e-3))
+        d = Fa.rng.randn(jax.random.PRNGKey(85)).astype(jnp.float32)
+        self._cmp_blocks(Fa.linearize(m0).H(d), Fs.linearize(m0).H(d), 2)
+
+    def test_vd_heterogeneous_b_matches_autodiff(self):
+        """Non-constant buoyancy exercises the hand-derived L_b
+        b-transpose (_div_b_grad_bbar) nontrivially."""
+        from jets_tpu.ops.wave import vd_wave_propagator as mk
+
+        Fa = mk(self.SHAPE, **self.KW)
+        Fs = mk(self.SHAPE, store_adjoint="f32", **self.KW)
+        key = jax.random.PRNGKey(86)
+        b = 1e-3 * (1.0 + 0.3 * jax.random.uniform(key, self.SHAPE))
+        m0 = (Fa.dom.zeros()
+              .setblock(0, jnp.full(self.SHAPE, 2000.0, jnp.float32))
+              .setblock(1, b.astype(jnp.float32)))
+        d = Fa.rng.randn(jax.random.PRNGKey(87)).astype(jnp.float32)
+        self._cmp_blocks(Fa.linearize(m0).H(d), Fs.linearize(m0).H(d), 2)
+
+    def test_vdq_f32_storage_matches_autodiff(self):
+        from jets_tpu.ops.wave import vdq_wave_propagator
+
+        Fa = vdq_wave_propagator(self.SHAPE, **self.KW)
+        Fs = vdq_wave_propagator(self.SHAPE, store_adjoint="f32",
+                                 **self.KW)
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m0 = (Fa.dom.zeros().setblock(0, full(2000.0))
+              .setblock(1, full(1e-3)).setblock(2, full(25.0)))
+        d = Fa.rng.randn(jax.random.PRNGKey(88)).astype(jnp.float32)
+        self._cmp_blocks(Fa.linearize(m0).H(d), Fs.linearize(m0).H(d), 3)
+
+    def test_vdq_dot_gate_and_dtrec(self):
+        from jets_tpu.ops.wave import vdq_wave_propagator
+
+        kw = dict(self.KW, dtrec=1.6e-3)
+        Fs = vdq_wave_propagator(self.SHAPE, store_adjoint="f32", **kw)
+        full = lambda v: jnp.full(self.SHAPE, v, jnp.float32)  # noqa: E731
+        m0 = (Fs.dom.zeros().setblock(0, full(2000.0))
+              .setblock(1, full(1e-3)).setblock(2, full(25.0)))
+        J = Fs.linearize(m0)
+        mm = J.dom.randn(jax.random.PRNGKey(89))
+        dd = J.rng.randn(jax.random.PRNGKey(90)).astype(jnp.float32)
+        lhs, rhs = jt.dot_product_test(J, mm, dd)
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+    def test_store_validation(self):
+        from jets_tpu.ops.wave import q_wave_propagator, \
+            vdq_wave_propagator
+
+        with pytest.raises(ValueError, match="store_adjoint"):
+            q_wave_propagator(self.SHAPE, store_adjoint="int4", **self.KW)
+        with pytest.raises(ValueError, match="store_adjoint"):
+            vdq_wave_propagator(self.SHAPE, store_adjoint="fp8", **self.KW)
+
+
+def test_multishot_boundary_options():
+    """free_surface and CPML on the multishot operator (marine production
+    multishot): free-surface physics matches the single-shot propagator
+    per shot, the stored free-surface gradient matches autodiff, and CPML
+    shots run with the autodiff adjoint + gate."""
+    from jets_tpu.ops.wave import (cpml_wave_propagator,
+                                   multishot_wave_operator,
+                                   wave_propagator)
+
+    grid = (20, 20)
+    srcs = jnp.array([20 * 6 + 6, 20 * 6 + 13], jnp.int32)
+    kw = dict(nt=30, dt=8e-4, dx=10.0, freq=18.0, sponge_width=4,
+              dtype=jnp.float32)
+    c0 = jnp.full(grid, 1500.0, jnp.float32)
+
+    # free surface: per-shot parity vs the single-shot propagator
+    Fms = multishot_wave_operator(grid, srcs, free_surface=True, **kw)
+    d = Fms(c0)
+    assert float(jnp.max(jnp.abs(d))) > 0.0
+    for k in range(2):
+        F1 = wave_propagator(grid, src_idx=int(srcs[k]),
+                             free_surface=True, **kw)
+        np.testing.assert_allclose(np.asarray(d[k]), np.asarray(F1(c0)),
+                                   rtol=1e-6, atol=1e-12)
+    # and it differs from the all-absorbing default (the surface ghost)
+    d_abs = multishot_wave_operator(grid, srcs, **kw)(c0)
+    assert float(jnp.max(jnp.abs(d - d_abs))) > 1e-3 * float(
+        jnp.max(jnp.abs(d)))
+
+    # free-surface stored adjoint matches autodiff
+    Fs = multishot_wave_operator(grid, srcs, free_surface=True,
+                                 store_adjoint="f32", **kw)
+    dd = Fms.rng.randn(jax.random.PRNGKey(91)).astype(jnp.float32)
+    ga = np.asarray(Fms.linearize(c0).H(dd))
+    gs = np.asarray(Fs.linearize(c0).H(dd))
+    scale = float(np.max(np.abs(ga)))
+    assert scale > 0.0
+    np.testing.assert_allclose(gs / scale, ga / scale, rtol=1e-5,
+                               atol=2e-5)
+
+    # CPML: per-shot parity vs the single-shot CPML propagator + gate
+    Fc = multishot_wave_operator(grid, srcs, boundary="cpml", **kw)
+    dc = Fc(c0)
+    for k in range(2):
+        F1 = cpml_wave_propagator(grid, src_idx=int(srcs[k]),
+                                  pml_width=4, nt=30, dt=8e-4, dx=10.0,
+                                  freq=18.0, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(dc[k]), np.asarray(F1(c0)),
+                                   rtol=1e-6, atol=1e-12)
+    J = Fc.linearize(c0)
+    mm = J.dom.randn(jax.random.PRNGKey(92)).astype(jnp.float32)
+    rr = J.rng.randn(jax.random.PRNGKey(93)).astype(jnp.float32)
+    lhs, rhs = jt.dot_product_test(J, mm, rr)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+    with pytest.raises(ValueError, match="boundary"):
+        multishot_wave_operator(grid, srcs, boundary="pml", **kw)
+    with pytest.raises(ValueError, match="CPML"):
+        multishot_wave_operator(grid, srcs, boundary="cpml",
+                                store_adjoint="f32", **kw)
