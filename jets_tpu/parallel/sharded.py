@@ -114,7 +114,8 @@ def _pvary_transpose_psums(mesh: Mesh, axis: str) -> bool:
     n = int(mesh.shape[axis])
     if n == 1:
         return True  # indistinguishable — and the double-count is ×1
-    key = (jax.__version__, n)
+    key = (jax.__version__, n, tuple(mesh.axis_types.items())
+           if hasattr(mesh, "axis_types") else None)
     if key not in _PVARY_PSUM_CACHE:
         def shard_fn(x):
             w = (lax.axis_index(axis) + 1).astype(x.dtype)
@@ -132,9 +133,22 @@ def _pvary_transpose_psums(mesh: Mesh, axis: str) -> bool:
                 shard_fn, mesh=mesh, in_specs=P(), out_specs=P()
             ))(jnp.float32(1.0)))
             _PVARY_PSUM_CACHE[key] = total > n * (n + 1) / 2 + 0.5
-        except Exception:
+        except Exception as e:  # noqa: BLE001
             # probe failed (exotic backend): fall back to the behavior
-            # measured on jax 0.9.0 — the inner vjp DOES psum
+            # measured on jax 0.9.0 — the inner vjp DOES psum. Warn
+            # loudly: if a future JAX both breaks the probe AND changes
+            # the replication-transpose behavior, sharded shot_map='map'
+            # gradients would be scaled by the axis size (ADVICE r4).
+            import warnings
+
+            warnings.warn(
+                "pvary-transpose probe failed "
+                f"({type(e).__name__}: {e}); assuming the jax-0.9.0 "
+                "behavior (inner vjp psums over the mesh axis). If "
+                "sharded shot_map gradients look scaled by the axis "
+                "size, this assumption no longer holds.",
+                RuntimeWarning, stacklevel=2,
+            )
             _PVARY_PSUM_CACHE[key] = True
     return _PVARY_PSUM_CACHE[key]
 
