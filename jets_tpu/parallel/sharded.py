@@ -114,8 +114,7 @@ def _pvary_transpose_psums(mesh: Mesh, axis: str) -> bool:
     n = int(mesh.shape[axis])
     if n == 1:
         return True  # indistinguishable — and the double-count is ×1
-    key = (jax.__version__, n, tuple(mesh.axis_types.items())
-           if hasattr(mesh, "axis_types") else None)
+    key = (jax.__version__, n, str(getattr(mesh, "axis_types", None)))
     if key not in _PVARY_PSUM_CACHE:
         def shard_fn(x):
             w = (lax.axis_index(axis) + 1).astype(x.dtype)
