@@ -2154,7 +2154,7 @@ def _offgrid_axis_contract(W, u, ax):
 
 def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
                    sponge, order: int = 2, remat_blocks: int = 1,
-                   fused=None, og=None, ig=None):
+                   fused=None, og=None, ig=None, wavefield_sharding=None):
     """Coupled leapfrog for the pseudo-acoustic VTI system (axis 0 = z):
 
         p_tt = c² [(1+2ε) Lh(p) + √(1+2δ) ∂zz q] + s
@@ -2184,9 +2184,10 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
 
     # static-Q Kosloff friction (the DenQ slot of the reference family's
     # anisotropic propagators): the fused kernel does not take friction
-    # fields, so a Q'ed propagator rides the XLA path
-    can_fuse = (og is None and iota_src and isinstance(sponge, tuple)
-                and len(shape) == 3)
+    # fields, so a Q'ed propagator rides the XLA path. Grid sharding also
+    # rides the XLA step (a Pallas call cannot be GSPMD-partitioned).
+    can_fuse = (og is None and wavefield_sharding is None and iota_src
+                and isinstance(sponge, tuple) and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_vti_pallas
 
@@ -2299,6 +2300,10 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
 
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
+    if wavefield_sharding is not None:
+        # pin the scan-carry sharding so GSPMD keeps BOTH coupled fields
+        # grid-sharded through the whole loop (as in _propagate)
+        u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
     (_, _, _, _), traces = _scan_remat(
         step, (u0, u0, u0, u0), src_wavelet, remat_blocks)
     return traces
@@ -2306,7 +2311,8 @@ def _propagate_vti(c, eps, delta, src_wavelet, src_idx, rcv_idx, *, dt, dx,
 
 def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
                         dt, dx, sponge, order: int = 2, store: str = "int8",
-                        fused=None, og=None, ig=None):
+                        fused=None, og=None, ig=None,
+                        wavefield_sharding=None):
     """Adjoint-state gradient ``(∂F/∂(c,ε,δ))ᵀ dd`` for the coupled
     pseudo-acoustic VTI system with a STORED (encoded) two-field forward
     history — the anisotropic sibling of :func:`_adjoint_stored`. The
@@ -2364,13 +2370,15 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
 
     zero = (src_idx * 0).astype(dtype)
     u0 = jnp.zeros(shape, dtype) + zero
+    if wavefield_sharding is not None:
+        u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
     nt = int(src_wavelet.shape[0])
 
     # ---- forward history sweep (both fields encoded per step) ----------
-    # static-Q friction (og/ig fields) rides the XLA sweeps: the fused
-    # kernels take no friction factors
-    can_fuse = (og is None and iota_src and isinstance(sponge, tuple)
-                and len(shape) == 3)
+    # static-Q friction (og/ig fields) and grid sharding ride the XLA
+    # sweeps: the fused kernels take neither
+    can_fuse = (og is None and wavefield_sharding is None and iota_src
+                and isinstance(sponge, tuple) and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_vti_adjoint_pallas, fits_vti_pallas
 
@@ -2550,6 +2558,7 @@ def vti_wave_propagator(
     q=None,
     f0: Optional[float] = None,
     store_adjoint: Optional[str] = None,
+    wavefield_sharding=None,
     dtype=jnp.float32,
 ) -> Operator:
     """Three-parameter VTI anisotropic forward modeling
@@ -2580,6 +2589,11 @@ def vti_wave_propagator(
 
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
+    if fused and wavefield_sharding is not None:
+        raise ValueError(
+            "wavefield_sharding rides the XLA step; fused=True is "
+            "incompatible (a Pallas call cannot be GSPMD-partitioned)"
+        )
     if fused:
         from .pallas_wave import fits_vti_adjoint_pallas, fits_vti_pallas
 
@@ -2620,6 +2634,7 @@ def vti_wave_propagator(
             state["wavelet"], state["src_idx"], state["rcv_idx"],
             dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
             remat_blocks=remat_blocks, fused=fused, og=og, ig=ig,
+            wavefield_sharding=wavefield_sharding,
         )
         return _resample(traces) if _resample is not None else traces
 
@@ -2649,7 +2664,10 @@ def vti_wave_propagator(
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
                 store=store_adjoint,
-                fused=False if q is not None else fused, og=og, ig=ig,
+                fused=False if (q is not None
+                                or wavefield_sharding is not None)
+                else fused,
+                og=og, ig=ig, wavefield_sharding=wavefield_sharding,
             )
             return (dom.zeros().setblock(0, gc).setblock(1, geps)
                     .setblock(2, gdelta))
@@ -2738,7 +2756,7 @@ def _propagate_tti(c, eps, delta, theta, src_wavelet, src_idx, rcv_idx, *,
 def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
                      rcv_idx, *, dt, dx, sponge, order: int = 2,
                      remat_blocks: int = 1, fused=None, og=None, ig=None,
-                     coeff_dtype=None):
+                     coeff_dtype=None, wavefield_sharding=None):
     """3-D tilted-TI pseudo-acoustics with azimuth. The symmetry axis is
     the unit vector ``n = (cosθ, sinθ·cosφ, sinθ·sinφ)`` in (z, y, x); the
     rotated vertical operator is the directional second derivative
@@ -2808,8 +2826,8 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
             .reshape(shape)
         )
 
-    can_fuse = (og is None and iota_src and isinstance(sponge, tuple)
-                and len(shape) == 3)
+    can_fuse = (og is None and wavefield_sharding is None and iota_src
+                and isinstance(sponge, tuple) and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_tti_pallas
 
@@ -2963,6 +2981,8 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
 
     zero = (src_idx * 0).astype(c.dtype)
     u0 = jnp.zeros(shape, c.dtype) + zero
+    if wavefield_sharding is not None:
+        u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
     (_, _, _, _), traces = _scan_remat(
         step, (u0, u0, u0, u0), src_wavelet, remat_blocks)
     return traces
@@ -2971,7 +2991,8 @@ def _propagate_tti3d(c, eps, delta, theta, phi, src_wavelet, src_idx,
 def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
                           src_idx, rcv_idx, *, dt, dx, sponge,
                           order: int = 2, store: str = "int8", fused=None,
-                          coeff_dtype=None, og=None, ig=None):
+                          coeff_dtype=None, og=None, ig=None,
+                          wavefield_sharding=None):
     """Adjoint-state gradient ``(∂F/∂(c,ε,δ,θ,φ))ᵀ dd`` for the 3-D
     tilted-TI system with a STORED two-field history — the TTI sibling of
     :func:`_adjoint_stored_vti`. Every rotated derivative (∂ᵢᵢ and the
@@ -3063,11 +3084,14 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
     u0 = jnp.zeros(shape, dtype) + zero
     nt = int(src_wavelet.shape[0])
 
+    if wavefield_sharding is not None:
+        u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
+
     # ---- forward history sweep ----------------------------------------
-    # static-Q friction rides the XLA sweeps (the fused kernels take no
-    # friction factors)
-    can_fuse = (og is None and isinstance(sponge, tuple)
-                and len(shape) == 3)
+    # static-Q friction and grid sharding ride the XLA sweeps (the fused
+    # kernels take neither)
+    can_fuse = (og is None and wavefield_sharding is None
+                and isinstance(sponge, tuple) and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_tti_adjoint_pallas, fits_tti_pallas
 
@@ -3275,6 +3299,7 @@ def tti_wave_propagator(
     f0: Optional[float] = None,
     coeff_dtype=None,
     store_adjoint: Optional[str] = None,
+    wavefield_sharding=None,
     dtype=jnp.float32,
 ) -> Operator:
     """TTI anisotropic forward modeling — JetPackWaveFD's tilted-TI physics.
@@ -3323,6 +3348,13 @@ def tti_wave_propagator(
             raise ValueError("bf16 coefficient mode is 3-D only")
     coeff_isz = (2 if coeff_dtype is not None
                  and jnp.dtype(coeff_dtype) == jnp.bfloat16 else 4)
+    if fused and wavefield_sharding is not None:
+        raise ValueError(
+            "wavefield_sharding rides the XLA step; fused=True is "
+            "incompatible (a Pallas call cannot be GSPMD-partitioned)"
+        )
+    if wavefield_sharding is not None and len(grid_shape) != 3:
+        raise ValueError("wavefield_sharding on TTI is 3-D only")
     if fused:
         from .pallas_wave import fits_tti_adjoint_pallas, fits_tti_pallas
 
@@ -3368,6 +3400,7 @@ def tti_wave_propagator(
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
                 remat_blocks=remat_blocks, fused=fused, og=og, ig=ig,
                 coeff_dtype=coeff_dtype,
+                wavefield_sharding=wavefield_sharding,
             )
             return _resample(traces) if _resample is not None else traces
         traces = _propagate_tti(
@@ -3410,8 +3443,11 @@ def tti_wave_propagator(
                 state["wavelet"], state["src_idx"], state["rcv_idx"],
                 dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
                 store=store_adjoint,
-                fused=False if q is not None else fused,
+                fused=False if (q is not None
+                                or wavefield_sharding is not None)
+                else fused,
                 coeff_dtype=coeff_dtype, og=og, ig=ig,
+                wavefield_sharding=wavefield_sharding,
             )
             out = dom.zeros()
             for b, g in enumerate(g5):

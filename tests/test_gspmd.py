@@ -149,3 +149,105 @@ def test_grid_sharded_multishot_block_by_grid():
     s = float(jnp.max(jnp.abs(a0)))
     np.testing.assert_allclose(np.asarray(a_sh) / s, np.asarray(a0) / s,
                                rtol=0, atol=1e-5)
+
+
+def test_grid_sharded_vti_propagator_parity_and_halo():
+    """GRID-AXIS sharding of the coupled VTI propagator: both wavefields
+    (and the stored two-field history) shard over the mesh; forward,
+    stored adjoint and halo collectives gated as for the isotropic case."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jets_tpu.ops.wave import vti_wave_propagator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    shape = (16, 8, 16)
+    mesh = make_block_mesh(8, axis="grid")
+    ws = NamedSharding(mesh, P("grid"))
+    src = int(np.ravel_multi_index((8, 4, 8), shape))
+    rcv = jnp.asarray([np.ravel_multi_index((8, 4, x), shape)
+                       for x in range(16)], jnp.int32)
+    kw = dict(nt=14, dt=8e-4, dx=10.0, freq=18.0, src_idx=src,
+              rcv_idx=rcv, sponge_width=3, dtype=jnp.float32)
+    F0 = vti_wave_propagator(shape, **kw)
+    Fs = vti_wave_propagator(shape, wavefield_sharding=ws, **kw)
+    with pytest.raises(ValueError, match="wavefield_sharding"):
+        vti_wave_propagator(shape, fused=True, wavefield_sharding=ws, **kw)
+
+    full = lambda v: jnp.full(shape, v, jnp.float32)  # noqa: E731
+    m0 = (F0.dom.zeros().setblock(0, full(1500.0))
+          .setblock(1, full(0.1)).setblock(2, full(0.05)))
+    m_sh = jax.tree_util.tree_map(
+        lambda x: x, m0)  # same values; velocity block device_put sharded
+    m_sh = m_sh.setblock(0, jax.device_put(m0.getblock(0), ws))
+
+    fwd = jax.jit(lambda m: Fs(m))
+    d_sh = fwd(m_sh)
+    d0 = F0(m0)
+    assert float(jnp.max(jnp.abs(d0))) > 0.0, "vacuous"
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d0),
+                               rtol=2e-6, atol=1e-30)
+    txt = fwd.lower(m_sh).compile().as_text()
+    assert ("collective-permute" in txt or "all-gather" in txt), \
+        "no halo-exchange collectives — wavefields silently replicated?"
+
+    # stored two-field history adjoint, grid-sharded
+    Fss = vti_wave_propagator(shape, wavefield_sharding=ws,
+                              store_adjoint="f32", **kw)
+    F0s = vti_wave_propagator(shape, store_adjoint="f32", **kw)
+    d = F0.rng.randn(jax.random.PRNGKey(11)).astype(jnp.float32)
+    a_sh = jax.jit(lambda dd: Fss.linearize(m_sh).H(dd))(d)
+    a0 = F0s.linearize(m0).H(d)
+    for b in range(3):
+        x = np.asarray(a0.getblock(b))
+        s = np.asarray(a_sh.getblock(b))
+        sc = float(np.max(np.abs(x)))
+        assert sc > 0.0, f"vacuous adjoint block {b}"
+        np.testing.assert_allclose(s / sc, x / sc, rtol=0, atol=1e-5)
+
+
+def test_grid_sharded_tti_propagator_parity():
+    """GRID-AXIS sharding of the 3-D TTI propagator (the heaviest physics
+    on the model-larger-than-one-chip axis): forward + stored adjoint
+    parity vs unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jets_tpu.ops.wave import tti_wave_propagator
+    from jets_tpu.parallel.sharded import make_block_mesh
+
+    shape = (16, 8, 16)
+    mesh = make_block_mesh(8, axis="grid")
+    ws = NamedSharding(mesh, P("grid"))
+    src = int(np.ravel_multi_index((8, 4, 8), shape))
+    rcv = jnp.asarray([np.ravel_multi_index((8, 4, x), shape)
+                       for x in range(16)], jnp.int32)
+    kw = dict(nt=12, dt=8e-4, dx=10.0, freq=18.0, src_idx=src,
+              rcv_idx=rcv, sponge_width=3, dtype=jnp.float32)
+    F0 = tti_wave_propagator(shape, **kw)
+    Fs = tti_wave_propagator(shape, wavefield_sharding=ws, **kw)
+    with pytest.raises(ValueError, match="3-D only"):
+        tti_wave_propagator((16, 16), wavefield_sharding=ws, nt=8)
+
+    full = lambda v: jnp.full(shape, v, jnp.float32)  # noqa: E731
+    m0 = F0.dom.zeros()
+    for b, v in enumerate((1500.0, 0.1, 0.05, 0.2, 0.7)):
+        m0 = m0.setblock(b, full(v))
+    m_sh = m0.setblock(0, jax.device_put(m0.getblock(0), ws))
+
+    d_sh = jax.jit(lambda m: Fs(m))(m_sh)
+    d0 = F0(m0)
+    assert float(jnp.max(jnp.abs(d0))) > 0.0
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d0),
+                               rtol=2e-6, atol=1e-30)
+
+    Fss = tti_wave_propagator(shape, wavefield_sharding=ws,
+                              store_adjoint="f32", **kw)
+    F0s = tti_wave_propagator(shape, store_adjoint="f32", **kw)
+    d = F0.rng.randn(jax.random.PRNGKey(12)).astype(jnp.float32)
+    a_sh = jax.jit(lambda dd: Fss.linearize(m_sh).H(dd))(d)
+    a0 = F0s.linearize(m0).H(d)
+    for b in range(5):
+        x = np.asarray(a0.getblock(b))
+        s = np.asarray(a_sh.getblock(b))
+        sc = float(np.max(np.abs(x)))
+        assert sc > 0.0, f"vacuous adjoint block {b}"
+        np.testing.assert_allclose(s / sc, x / sc, rtol=0, atol=1e-5)
