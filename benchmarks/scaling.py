@@ -176,6 +176,51 @@ def audit_distributed_lsqr(n_devices: int = 8):
         for k in tot:
             tot[k] += comp[k]
     out["map_mode_fwi_gradient_whole_program"] = tot
+
+    # --- grid-sharded 3-D wave step: HALO traffic per time step — the
+    # number that decides whether the halo exchange sits on the critical
+    # path on a real pod (ICI bytes/step vs the ~µs step time). Audited
+    # from the compiled while-loop body of (a) the GSPMD XLA step and
+    # (b) the explicit shard_map+ppermute FUSED step (whose body runs
+    # TWO steps per iteration — the paired unroll).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jets_tpu.ops.wave import wave_propagator
+
+    gmesh = make_block_mesh(n_devices, axis="grid")
+    ws = NamedSharding(gmesh, P("grid"))
+    wshape = (8 * n_devices, 8, 128)
+    wsrc = int(np.ravel_multi_index((4 * n_devices, 4, 64), wshape))
+    wkw = dict(nt=16, dt=8e-4, dx=10.0, freq=18.0, src_idx=wsrc,
+               sponge_width=3, dtype=jnp.float32)
+    cg = jax.device_put(jnp.full(wshape, 1500.0, jnp.float32), ws)
+
+    def _body_totals(txt, steps_per_body):
+        a = hlo_collective_audit(txt)["per_iteration_bodies"]
+        t = {k: 0 for k in ("all-reduce", "all-gather", "reduce-scatter",
+                            "collective-permute", "all-to-all")}
+        t["bytes"] = 0
+        for comp in a.values():
+            for k in t:
+                t[k] += comp[k]
+        t["bytes_per_step"] = t["bytes"] // steps_per_body
+        t["steps_per_body"] = steps_per_body
+        return t
+
+    Fg = wave_propagator(wshape, wavefield_sharding=ws, **wkw)
+    txtg = jax.jit(lambda c: Fg(c)).lower(cg).compile().as_text()
+    out["grid_sharded_wave_step_halo_xla"] = _body_totals(txtg, 1)
+
+    from jets_tpu.ops.wave import fits_fused_sharded
+
+    if fits_fused_sharded(wshape, jnp.float32, 2, ws):
+        Ff = wave_propagator(wshape, wavefield_sharding=ws, fused=True,
+                             **wkw)
+        txtf = jax.jit(lambda c: Ff(c)).lower(cg).compile().as_text()
+        t = _body_totals(txtf, 2)  # paired two-steps-per-iteration body
+        # analytic floor: 2 boundary planes of hw slices per step/shard
+        t["analytic_ppermute_bytes_per_step"] = 2 * 1 * 8 * 128 * 4
+        out["fused_sharded_wave_step_halo_ppermute"] = t
     return out
 
 

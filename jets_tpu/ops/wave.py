@@ -329,6 +329,7 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
             jnp.zeros((size,), c.dtype).at[src_idx].set(dt * dt)
             .reshape(shape)
         )
+    default_extract = extract is None
     if extract is None:
         extract = lambda u: u.reshape(-1)[rcv_idx]  # noqa: E731
     amp = jnp.asarray(dt * dt, c.dtype)
@@ -342,10 +343,23 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     if fused is None:
         fused = can_fuse and jax.default_backend() != "cpu"
     elif fused and not can_fuse:
+        # fused=True UNDER a z-slab grid sharding: the explicit shard_map
+        # halo-exchange path (ppermute around the Pallas kernel) — the
+        # opt-in prototype of the multi-chip fused step. The GSPMD XLA
+        # step stays the fused=None default under sharding.
+        if (wavefield_sharding is not None and iota_src and default_extract
+                and isinstance(sponge, tuple)
+                and fits_fused_sharded(shape, c.dtype, order,
+                                       wavefield_sharding)):
+            return _propagate_fused_sharded(
+                c, src_wavelet, src_idx, rcv_idx, dt=dt, dx=dx,
+                sponge=sponge, remat_blocks=remat_blocks, order=order,
+                ws=wavefield_sharding)
         raise ValueError(
             "fused wave step requires a 3-D f32 grid with aligned minor "
-            "dims, the default on-grid source/receivers, and no "
-            "wavefield_sharding (grid sharding rides the XLA step)"
+            "dims and the default on-grid source/receivers; under "
+            "wavefield_sharding additionally a z-only slab sharding "
+            "whose halo-extended slab is kernel-feasible"
         )
 
     if fused:
@@ -448,6 +462,170 @@ def _propagate(c, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
 
     (_, _), traces = _scan_remat(step, (u0, u0), src_wavelet, remat_blocks)
     return traces
+
+
+def _zonly_axis(ws, ndim):
+    """The mesh axis name when ``ws`` shards axis 0 ONLY (the z-slab
+    layout the fused sharded step supports), else None."""
+    try:
+        spec = tuple(ws.spec)
+    except Exception:  # noqa: BLE001
+        return None
+    if not spec or spec[0] is None or isinstance(spec[0], tuple):
+        return None
+    for s in spec[1:]:
+        if s is not None:
+            return None
+    return spec[0]
+
+
+def _propagate_fused_sharded(c, src_wavelet, src_idx, rcv_idx, *, dt, dx,
+                             sponge, remat_blocks, order, ws):
+    """The fused Pallas leapfrog under an EXPLICIT z-slab ``shard_map``:
+    each device owns a ``(D/n, H, W)`` slab; per step the ``hw`` boundary
+    slices travel to the neighbors by ``lax.ppermute`` (ICI halo
+    exchange — non-participating edge shards receive ppermute's zero
+    fill, which IS the global zero boundary), the kernel runs on the
+    halo-extended slab, and the interior is kept. The receiver row is a
+    masked local gather ``psum``-assembled across shards. Halo traffic:
+    ``2·hw·H·W·4`` bytes per step per interior boundary — recorded in
+    the scaling artifact (``benchmarks/scaling.py``).
+
+    This is the prototype of the model-larger-than-one-chip fused path
+    (docs §7 names it as the successor to the GSPMD XLA step); real
+    multi-chip perf cannot be measured in this environment, so the
+    XLA/GSPMD step remains the ``fused=None`` default under sharding.
+    Tangent/adjoint ride a ``custom_jvp`` whose rule is the halo-extended
+    XLA leapfrog (ppermute is linear and transposes to the reverse
+    permutation, so FWI gradients stay exact)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas_wave import fused_leapfrog_step
+    from .stencil import _D2_COEFFS
+
+    mesh = ws.mesh
+    axname = _zonly_axis(ws, c.ndim)
+    n = int(mesh.shape[axname])
+    D, H, W = c.shape
+    Dl = D // n
+    hw = len(_D2_COEFFS[order][1])
+    dtype = c.dtype
+    c2dt2 = (c * c) * (dt * dt) / (dx * dx)
+    amp = jnp.asarray(dt * dt, dtype)
+    spz = sponge[0][:, 0, 0]
+    spy = sponge[1][0]
+    spx = sponge[2][0]
+    interp = jax.default_backend() == "cpu"
+    nt = int(src_wavelet.shape[0])
+    fwd_perm = [(j, j + 1) for j in range(n - 1)]
+    bwd_perm = [(j + 1, j) for j in range(n - 1)]
+
+    def shard_fn(c2_l, spz_l, wav, sidx, ridx):
+        zidx = lax.axis_index(axname)
+        z0 = zidx * Dl
+        hwp = H * W
+        sz_g = sidx // hwp
+        in_shard = (sz_g >= z0) & (sz_g < z0 + Dl)
+        # extended-local flat source index (halo offset +hw planes), or
+        # -1 on shards that don't hold the source (iota never matches)
+        src_l = jnp.where(in_shard,
+                          (sz_g - z0 + hw) * hwp + sidx % hwp,
+                          -1)
+        rz = ridx // hwp
+        r_in = ((rz >= z0) & (rz < z0 + Dl)).astype(dtype)
+        r_loc = jnp.where(r_in > 0, (rz - z0) * hwp + ridx % hwp, 0)
+        # halo z's of the sponge/c² are edge-padded: their OUTPUT slices
+        # are discarded, the values only need to exist
+        spz_ext = jnp.concatenate(
+            [jnp.broadcast_to(spz_l[:1], (hw,)), spz_l,
+             jnp.broadcast_to(spz_l[-1:], (hw,))])
+        c2_ext = jnp.pad(c2_l, ((hw, hw), (0, 0), (0, 0)))
+        ext_shape = (Dl + 2 * hw, H, W)
+
+        def extend(u_l):
+            above = lax.ppermute(u_l[Dl - hw:], axname, fwd_perm)
+            below = lax.ppermute(u_l[:hw], axname, bwd_perm)
+            return jnp.concatenate([above, u_l, below], axis=0)
+
+        @jax.custom_jvp
+        def step_core(up_l, u_l, c2e, s_t, src_l_, amp_):
+            up_ext = jnp.pad(up_l, ((hw, hw), (0, 0), (0, 0)))
+            out = fused_leapfrog_step(
+                up_ext, extend(u_l), c2e, spz_ext, spy, spx, s_t,
+                src_l_, amp_, order=order, interpret=interp)
+            return out[hw:hw + Dl]
+
+        @step_core.defjvp
+        def _step_jvp(primals, tangents):
+            out = step_core(*primals)
+            _up, _u, _c2e, _st, src_l_, amp_ = primals
+            spf = (spz_ext.reshape(-1, 1, 1), spy.reshape(1, -1, 1),
+                   spx.reshape(1, 1, -1))
+            mask = _iota_src_mask(ext_shape, src_l_, amp_)
+
+            def xla_step(up_l, u_l, c2e, s_t):
+                up_ext = jnp.pad(up_l, ((hw, hw), (0, 0), (0, 0)))
+                u_ext = extend(u_l)
+                e = _mul_sponge(
+                    2.0 * u_ext - up_ext
+                    + c2e * _laplacian(u_ext, order=order), spf
+                ) + s_t * mask
+                return e[hw:hw + Dl]
+
+            _, dout = jax.jvp(xla_step, primals[:4], tangents[:4])
+            return out, dout
+
+        def one_step(carry, s_t):
+            u_prev, u = carry
+            u_next = step_core(u_prev, u, c2_ext, s_t, src_l, amp)
+            rec = lax.psum(u_next.reshape(-1)[r_loc] * r_in, axname)
+            return (u, u_next), rec
+
+        def step(carry, s_pair):
+            c1, r1 = one_step(carry, s_pair[0])
+            c2_, r2 = one_step(c1, s_pair[1])
+            return c2_, jnp.stack((r1, r2))
+
+        pad = nt % 2
+        w = wav
+        if pad:
+            w = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+        xs = w.reshape(((nt + pad) // 2, 2))
+        zero = (sidx * 0).astype(dtype)
+        u0 = jnp.zeros((Dl, H, W), dtype) + zero
+        (_, _), traces = _scan_remat(step, (u0, u0), xs, remat_blocks)
+        return traces.reshape((nt + pad,) + traces.shape[2:])[:nt]
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axname), P(axname), P(), P(), P()),
+        out_specs=P(),
+        # a pallas_call's out_shape carries no varying-axis info, so the
+        # vma checker cannot type it; the trace row is made replicated
+        # explicitly by the psum above
+        check_vma=False,
+    )(c2dt2, spz, src_wavelet, jnp.asarray(src_idx, jnp.int32),
+      jnp.asarray(rcv_idx, jnp.int32))
+
+
+def fits_fused_sharded(shape, dtype, order, ws) -> bool:
+    """True when the shard_map fused leapfrog applies: 3-D f32 grid,
+    z-only sharding whose slab count divides D, and a kernel-feasible
+    halo-extended slab."""
+    from .pallas_wave import fits_wave_pallas
+    from .stencil import _D2_COEFFS
+
+    if ws is None or len(shape) != 3:
+        return False
+    ax = _zonly_axis(ws, 3)
+    if ax is None or ax not in ws.mesh.shape:
+        return False
+    n = int(ws.mesh.shape[ax])
+    D, H, W = shape
+    if D % n:
+        return False
+    hw = len(_D2_COEFFS[order][1])
+    return fits_wave_pallas((D // n + 2 * hw, H, W), dtype, order)
 
 
 def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
@@ -694,11 +872,19 @@ def wave_propagator(
     grid_shape = tuple(int(s) for s in grid_shape)
     space_order = _check_space_order(space_order)
     if fused and wavefield_sharding is not None:
-        raise ValueError(
-            "wavefield_sharding rides the XLA step; fused=True is "
-            "incompatible (a Pallas call cannot be GSPMD-partitioned)"
-        )
-    if fused:
+        # opt-in shard_map fused path (explicit ppermute halo exchange
+        # around the Pallas kernel) — requires a z-only slab sharding
+        # with a kernel-feasible halo-extended slab
+        if not fits_fused_sharded(grid_shape, dtype, space_order,
+                                  wavefield_sharding):
+            raise ValueError(
+                "fused wave step under wavefield_sharding requires a "
+                "z-only slab sharding of a 3-D f32 grid whose "
+                "halo-extended slab is kernel-feasible (W%128==0, "
+                "H%8==0, slab count divides D); the GSPMD XLA step "
+                "(fused=None) has no such restriction"
+            )
+    elif fused:
         from .pallas_wave import fits_adjoint_pallas, fits_wave_pallas
 
         if not fits_wave_pallas(grid_shape, dtype, space_order):
