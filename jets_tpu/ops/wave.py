@@ -630,7 +630,7 @@ def fits_fused_sharded(shape, dtype, order, ws) -> bool:
 
 def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
                     order: int = 2, store: str = "int8", fused=None,
-                    wavefield_sharding=None):
+                    wavefield_sharding=None, src_mask=None, inject=None):
     """Adjoint-state gradient ``(∂F/∂c)ᵀ dd`` with a STORED forward-
     wavefield history — the TPU-native equivalent of JetPackWaveFD's
     production imaging path, where the forward wavefield is serialized
@@ -673,16 +673,17 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
     size = 1
     for s in shape:
         size *= int(s)
-    iota_src = len(shape) >= 3
+    custom_geom = src_mask is not None or inject is not None
+    iota_src = src_mask is None and len(shape) >= 3
     amp = jnp.asarray(dt * dt, dtype)
-    if not iota_src:
-        dense_mask = (
+    if src_mask is None and not iota_src:
+        src_mask = (
             jnp.zeros((size,), dtype).at[src_idx].set(dt * dt).reshape(shape)
         )
 
     def mask():
         return (_iota_src_mask(shape, src_idx, amp) if iota_src
-                else dense_mask)
+                else src_mask)
 
     enc, dec = _store_codec(store, dtype)
 
@@ -695,17 +696,19 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         u0 = lax.with_sharding_constraint(u0, wavefield_sharding)
     nt = int(src_wavelet.shape[0])
 
-    def inject(row):
-        return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
-                .reshape(shape))
+    if inject is None:
+        def inject(row):
+            return (jnp.zeros((size,), dtype).at[rcv_idx].add(row)
+                    .reshape(shape))
 
     # ḡrec_{k-1} aligned to reverse iteration k (rec_k samples u_{k+1})
     dd = dd.astype(dtype)
     dd_shift = jnp.concatenate(
         [jnp.zeros((1,) + dd.shape[1:], dtype), dd[:-1]], axis=0)
 
-    can_fuse = (wavefield_sharding is None and iota_src
-                and isinstance(sponge, tuple) and len(shape) == 3)
+    can_fuse = (wavefield_sharding is None and not custom_geom
+                and iota_src and isinstance(sponge, tuple)
+                and len(shape) == 3)
     if can_fuse:
         from .pallas_wave import fits_adjoint_pallas, fits_wave_pallas
 
@@ -721,22 +724,35 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         )
 
     if fused:
-        from .pallas_wave import fused_adjoint_step, fused_leapfrog_step
+        from .pallas_wave import (fused_adjoint_step,
+                                  fused_leapfrog_hist_step)
 
         interp = jax.default_backend() == "cpu"
         spz = sponge[0][:, 0, 0]
         spy = sponge[1][0]
         spx = sponge[2][0]
 
-        # ---- forward sweep on the fused leapfrog kernel, paired two
-        # steps per iteration so the kernel's u_prev->u_next aliasing
-        # donates with no carry-rotation copies (the _propagate finding)
+        # ---- forward sweep on the fused leapfrog kernel WITH in-kernel
+        # history encoding (the XLA encode costs ~2.25 extra grid touches
+        # per step: max-read + quantize-read + snapshot-write; the kernel
+        # quantizes its ring-resident center slices in place). The int8
+        # quantization scale is deferred one step — the carry holds
+        # max|u| emitted as per-slab partials when u was WRITTEN, and max
+        # is order-independent, so scales and snapshots are bit-identical
+        # to the XLA encode. Paired two steps per iteration as always.
+        one = jnp.asarray(1.0, dtype)
+        floor = jnp.asarray(1e-30, dtype)
+
         def fwd_one(carry, s_t):
-            u_prev, u = carry
-            u_next = fused_leapfrog_step(
-                u_prev, u, c2dt2, spz, spy, spx, s_t, src_idx, amp,
-                order=order, interpret=interp)
-            return (u, u_next), enc(u)
+            u_prev, u, sc_u = carry
+            qf = (jnp.asarray(127.0, dtype) / sc_u if store == "int8"
+                  else one)
+            u_next, u_enc, pmax = fused_leapfrog_hist_step(
+                u_prev, u, c2dt2, spz, spy, spx, s_t, src_idx, amp, qf,
+                store=store, order=order, interpret=interp)
+            sc_next = jnp.maximum(jnp.max(pmax), floor)
+            sc_rec = sc_u if store == "int8" else one
+            return (u, u_next, sc_next), (u_enc, sc_rec)
 
         def fwd_pair(carry, s_pair):
             c1, h1 = fwd_one(carry, s_pair[0])
@@ -750,7 +766,8 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
             wav = jnp.concatenate(
                 [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
         xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
-        (_, _), (hist, scales) = lax.scan(fwd_pair, (u0, u0), xsf)
+        (_, _, _), (hist, scales) = lax.scan(fwd_pair, (u0, u0, floor),
+                                             xsf)
         hist = hist.reshape((nt + padf,) + hist.shape[2:])[:nt]
         scales = scales.reshape((nt + padf,) + scales.shape[2:])[:nt]
 
@@ -2236,6 +2253,7 @@ def offgrid_wave_propagator(
     radius: int = 4,
     remat_blocks: int = 1,
     dtrec: Optional[float] = None,
+    store_adjoint: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Operator:
     """Nonlinear forward modeling with OFF-GRID acquisition: the source at
@@ -2249,7 +2267,13 @@ def offgrid_wave_propagator(
     remaining axis. Tangent/adjoint via jvp/vjp as for
     :func:`wave_propagator` (the adjoint's transposed matmul scatters the
     residual back through the same sinc stamps — Hicks interpolation is its
-    own adjoint pair)."""
+    own adjoint pair).
+
+    ``store_adjoint`` ∈ {None, "f32", "bf16", "int8"} switches the adjoint
+    to the stored-history sweep with the OFF-GRID geometry threaded
+    through: the fractional-source mask enters the forward history sweep
+    and the reverse receiver injection is the derived transpose of the
+    Kaiser-sinc extraction (``jax.vjp`` of the banded matmuls)."""
     from .sampling import kaiser_sinc_matrix, kaiser_sinc_matrix_np
 
     grid_shape = tuple(int(s) for s in grid_shape)
@@ -2306,10 +2330,37 @@ def offgrid_wave_propagator(
         _, tangent = jax.jvp(lambda c: _f(c, state), (m0,), (dc,))
         return tangent
 
-    def _dft(dd, m0, state):
-        _, vjp = jax.vjp(lambda c: _f(c, state), m0)
-        (out,) = vjp(dd)
-        return out
+    if store_adjoint is None:
+        def _dft(dd, m0, state):
+            _, vjp = jax.vjp(lambda c: _f(c, state), m0)
+            (out,) = vjp(dd)
+            return out
+    else:
+        if store_adjoint not in ("f32", "bf16", "int8"):
+            raise ValueError(
+                "store_adjoint must be one of (None, 'f32', 'bf16', "
+                f"'int8'), got {store_adjoint!r}"
+            )
+
+        def _dft(dd, m0, state):
+            if _resample is not None:
+                _, rvjp = jax.vjp(
+                    _resample, jnp.zeros((nt,) + out_shape, dtype))
+                (dd,) = rvjp(dd)
+
+            ex = lambda u: _extract(u, state)  # noqa: E731
+            _, evjp = jax.vjp(ex, jnp.zeros(grid_shape, dtype))
+
+            def inj(row):
+                (g,) = evjp(row)
+                return g
+
+            return _adjoint_stored(
+                m0, dd, state["wavelet"], jnp.int32(0), None,
+                dt=dt, dx=dx, sponge=state["sponge"], order=space_order,
+                store=store_adjoint, fused=False,
+                src_mask=state["src_mask"], inject=inj,
+            )
 
     j = Jet(
         dom=sp, rng=rng, f=_f, df=_df, dft=_dft,
@@ -2580,19 +2631,34 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
         )
 
     if fused:
-        from .pallas_wave import fused_vti_step
+        from .pallas_wave import fused_vti_hist_step
 
         interp = jax.default_backend() == "cpu"
         spz = sponge[0][:, 0, 0]
         spy = sponge[1][0]
         spx = sponge[2][0]
 
+        # in-kernel two-field history encoding with one-step-deferred
+        # scales (see _adjoint_stored's fused forward sweep: scales and
+        # snapshots stay bit-identical to the XLA encode, and the ~4.5
+        # encode grid touches per step disappear)
+        one_ = jnp.asarray(1.0, dtype)
+        floor_ = jnp.asarray(1e-30, dtype)
+        is_i8 = store == "int8"
+
         def fwd_one(carry, s_t):
-            p_prev, p, q_prev, q = carry
-            p_next, q_next = fused_vti_step(
+            p_prev, p, q_prev, q, sc_p, sc_q = carry
+            qfp = jnp.asarray(127.0, dtype) / sc_p if is_i8 else one_
+            qfq = jnp.asarray(127.0, dtype) / sc_q if is_i8 else one_
+            p_next, q_next, p_enc, q_enc, pmax, qmax = fused_vti_hist_step(
                 p_prev, p, q_prev, q, C, ah, av, spz, spy, spx,
-                inv_dx2, s_t, src_idx, amp, order=order, interpret=interp)
-            return (p, p_next, q, q_next), (enc(p), enc(q))
+                inv_dx2, s_t, src_idx, amp, qfp, qfq,
+                store=store, order=order, interpret=interp)
+            sc_pn = jnp.maximum(jnp.max(pmax), floor_)
+            sc_qn = jnp.maximum(jnp.max(qmax), floor_)
+            ys = ((p_enc, sc_p if is_i8 else one_),
+                  (q_enc, sc_q if is_i8 else one_))
+            return (p, p_next, q, q_next, sc_pn, sc_qn), ys
 
         def fwd_pair(carry, s_pair):
             c1, h1 = fwd_one(carry, s_pair[0])
@@ -2606,7 +2672,8 @@ def _adjoint_stored_vti(c, eps, delta, dd, src_wavelet, src_idx, rcv_idx, *,
             wav = jnp.concatenate(
                 [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
         xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
-        (_, _, _, _), hists = lax.scan(fwd_pair, (u0, u0, u0, u0), xsf)
+        (_, _, _, _, _, _), hists = lax.scan(
+            fwd_pair, (u0, u0, u0, u0, floor_, floor_), xsf)
         hists = jax.tree_util.tree_map(
             lambda a: a.reshape((nt + padf,) + a.shape[2:])[:nt], hists)
     else:
@@ -3295,7 +3362,7 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
         )
 
     if fused:
-        from .pallas_wave import fused_tti_step
+        from .pallas_wave import fused_tti_hist_step
 
         interp = jax.default_backend() == "cpu"
         spz = sponge[0][:, 0, 0]
@@ -3303,13 +3370,25 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
         spx = sponge[2][0]
         kc5 = kc if kc is not None else (ah, av, nz, ny, nx)
 
+        # in-kernel two-field history encoding with one-step-deferred
+        # scales (bit-identical to the XLA encode; see _adjoint_stored)
+        one_ = jnp.asarray(1.0, dtype)
+        floor_ = jnp.asarray(1e-30, dtype)
+        is_i8 = store == "int8"
+
         def fwd_one(carry, s_t):
-            p_prev, p, q_prev, q = carry
-            p_next, q_next = fused_tti_step(
+            p_prev, p, q_prev, q, sc_p, sc_q = carry
+            qfp = jnp.asarray(127.0, dtype) / sc_p if is_i8 else one_
+            qfq = jnp.asarray(127.0, dtype) / sc_q if is_i8 else one_
+            p_next, q_next, p_enc, q_enc, pmax, qmax = fused_tti_hist_step(
                 p_prev, p, q_prev, q, C, *kc5, spz, spy, spx,
-                inv_dx2, inv_dx, s_t, src_idx, amp,
-                order=order, interpret=interp)
-            return (p, p_next, q, q_next), (enc(p), enc(q))
+                inv_dx2, inv_dx, s_t, src_idx, amp, qfp, qfq,
+                store=store, order=order, interpret=interp)
+            sc_pn = jnp.maximum(jnp.max(pmax), floor_)
+            sc_qn = jnp.maximum(jnp.max(qmax), floor_)
+            ys = ((p_enc, sc_p if is_i8 else one_),
+                  (q_enc, sc_q if is_i8 else one_))
+            return (p, p_next, q, q_next, sc_pn, sc_qn), ys
 
         def fwd_pair(carry, s_pair):
             c1, h1 = fwd_one(carry, s_pair[0])
@@ -3323,7 +3402,8 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
             wav = jnp.concatenate(
                 [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
         xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
-        (_, _, _, _), hists = lax.scan(fwd_pair, (u0, u0, u0, u0), xsf)
+        (_, _, _, _, _, _), hists = lax.scan(
+            fwd_pair, (u0, u0, u0, u0, floor_, floor_), xsf)
         hists = jax.tree_util.tree_map(
             lambda a: a.reshape((nt + padf,) + a.shape[2:])[:nt], hists)
     else:
