@@ -2061,147 +2061,3 @@ def fused_tti_adjoint_step(ap1, aq1, ap2, aq2, gC, gah, gav, gnz, gny, gnx,
         interpret=interpret,
     )(scal, spz, sy, sx, ap2, aq2, gC, gah, gav, gnz, gny, gnx,
       ap1, aq1, C, ah, av, nz, ny, nx, p_enc, q_enc)
-
-
-# ---------------------------------------------------------------------------
-# Forward leapfrog WITH in-kernel history encoding — the stored-adjoint
-# forward sweep's kernel. The XLA encode (per-snapshot max-abs scale +
-# int8 quantize) costs ~2.25 extra grid touches per stored field per step
-# (read u for the max, read u again to quantize, write the snapshot);
-# this kernel quantizes the ring-resident center slices IN PLACE (zero
-# extra reads, a quarter-width write) and emits per-slab |u_next| partial
-# maxes, so the NEXT step's quantization scale is ready without a
-# dedicated reduction pass. The scale is therefore deferred ONE step —
-# u_k is quantized with max|u_k| computed when u_k was WRITTEN (it is the
-# previous step's u_next) — and max is order-independent, so scales and
-# quantized histories are BIT-IDENTICAL to the XLA encode's.
-# ---------------------------------------------------------------------------
-
-
-def _wave_hist_kernel(scal_ref, idx_ref, spz_ref, sy_blk, sx_blk, up_blk,
-                      c2_blk, u_hbm, out_blk, henc_blk, hmax_ref,
-                      scratch, sems, *, T, D, H, W, order, store):
-    c0, cs = _D2_COEFFS[order]
-    hw = len(cs)
-    i = pl.program_id(0)
-    nsl = D // T
-    two = jnp.asarray(2, i.dtype)
-    slot = lax.rem(i, two)
-    nslot = lax.rem(i + 1, two)
-    P = T + 2 * hw
-    start_slab, wait_slab = _ring_io(u_hbm, scratch, sems, T=T, hw=hw,
-                                     nsl=nsl, H=H, W=W)
-
-    @pl.when(i == 0)
-    def _():
-        start_slab(0, 0)
-
-    @pl.when(i + 1 < nsl)
-    def _():
-        start_slab(i + 1, nslot)
-
-    wait_slab(i, slot)
-
-    base = slot * P
-    c = scratch[pl.ds(base + hw, T)]
-    # EXACT laplacian_nd tree (see _wave_kernel)
-    lap = (c0 * 3.0) * c
-    for s, coef in enumerate(cs, start=1):
-        zlo = scratch[pl.ds(base + hw - s, T)]
-        zhi = scratch[pl.ds(base + hw + s, T)]
-        if coef == 1.0:
-            lap = lap + zlo + zhi
-        else:
-            lap = lap + coef * (zlo + zhi)
-    for s, coef in enumerate(cs, start=1):
-        ylo = jnp.pad(c[:, :-s, :], ((0, 0), (s, 0), (0, 0)))
-        yhi = jnp.pad(c[:, s:, :], ((0, 0), (0, s), (0, 0)))
-        if coef == 1.0:
-            lap = lap + ylo + yhi
-        else:
-            lap = lap + coef * (ylo + yhi)
-    for s, coef in enumerate(cs, start=1):
-        xlo = jnp.pad(c[:, :, :-s], ((0, 0), (0, 0), (s, 0)))
-        xhi = jnp.pad(c[:, :, s:], ((0, 0), (0, 0), (0, s)))
-        if coef == 1.0:
-            lap = lap + xlo + xhi
-        else:
-            lap = lap + coef * (xlo + xhi)
-
-    e = (2.0 * c - up_blk[...]) + c2_blk[...] * lap
-    s_t = scal_ref[0]
-    amp = scal_ref[1]
-    iy = lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
-    ix = lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
-    yx = iy * W + ix
-    m = jnp.float32(0.0)
-    for t in range(T):
-        plane = (spz_ref[i * T + t] * sy_blk[...]) * sx_blk[...]
-        flat_t = (i * T + t) * (H * W) + yx
-        mask_t = jnp.where(flat_t == idx_ref[0], amp, jnp.zeros_like(amp))
-        val = e[t:t + 1] * plane[None] + s_t * mask_t
-        out_blk[pl.ds(t, 1)] = val
-        m = jnp.maximum(m, jnp.max(jnp.abs(val)))
-    hmax_ref[i] = m
-    # encode the INPUT field u_k from the ring-resident center slices:
-    # round(u·qf) with qf = 127/s from SMEM — the exact XLA dec tree
-    if store == "int8":
-        qf = scal_ref[2]
-        henc_blk[...] = jnp.round(c * qf).astype(jnp.int8)
-    elif store == "bf16":
-        henc_blk[...] = c.astype(jnp.bfloat16)
-    else:
-        henc_blk[...] = c
-
-
-def fused_leapfrog_hist_step(u_prev, u, c2dt2, spz, sy, sx, s_t, src_idx,
-                             amp, qf, *, store: str = "int8",
-                             order: int = 2, interpret: bool = False):
-    """:func:`fused_leapfrog_step` + in-kernel history encoding. Returns
-    ``(u_next, u_enc, partial_maxes)``: ``u_enc`` is the encoded snapshot
-    of the INPUT ``u`` (int8 quantized by ``qf = 127/scale``, bf16 cast,
-    or f32 copy), ``partial_maxes`` holds ``max|u_next|`` per z-slab
-    (reduce + floor outside to get the next step's scale). ``u_prev``
-    aliases to ``u_next``. Raw kernel; ``ops/wave.py`` wraps the sweep."""
-    D, H, W = u.shape
-    T = wave_step_tile(u.shape, order, u.dtype.itemsize)
-    if T is None:
-        raise ValueError(f"no VMEM-feasible slab tile for shape {u.shape}")
-    hw = len(_D2_COEFFS[order][1])
-    blk = (T, H, W)
-    idx = lambda i: (i, 0, 0)  # noqa: E731
-    scal = jnp.stack([jnp.asarray(s_t, u.dtype), jnp.asarray(amp, u.dtype),
-                      jnp.asarray(qf, u.dtype)])
-    sidx = jnp.asarray(src_idx, jnp.int32).reshape(1)
-    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_wave_hist_kernel, T=T, D=D, H=H, W=W,
-                          order=order, store=store),
-        grid=(D // T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            vspec,
-            vspec,
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            vspec,
-            pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((D, H, W), u.dtype),
-            jax.ShapeDtypeStruct((D, H, W), _STORE_DTYPES[store]),
-            jax.ShapeDtypeStruct((D // T,), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * (T + 2 * hw), H, W), u.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-        input_output_aliases={} if interpret else {5: 0},
-        interpret=interpret,
-    )(scal, sidx, spz, sy, sx, u_prev, c2dt2, u)

@@ -724,35 +724,31 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
         )
 
     if fused:
-        from .pallas_wave import (fused_adjoint_step,
-                                  fused_leapfrog_hist_step)
+        from .pallas_wave import fused_adjoint_step, fused_leapfrog_step
 
         interp = jax.default_backend() == "cpu"
         spz = sponge[0][:, 0, 0]
         spy = sponge[1][0]
         spx = sponge[2][0]
 
-        # ---- forward sweep on the fused leapfrog kernel WITH in-kernel
-        # history encoding (the XLA encode costs ~2.25 extra grid touches
-        # per step: max-read + quantize-read + snapshot-write; the kernel
-        # quantizes its ring-resident center slices in place). The int8
-        # quantization scale is deferred one step — the carry holds
-        # max|u| emitted as per-slab partials when u was WRITTEN, and max
-        # is order-independent, so scales and snapshots are bit-identical
-        # to the XLA encode. Paired two steps per iteration as always.
-        one = jnp.asarray(1.0, dtype)
-        floor = jnp.asarray(1e-30, dtype)
-
+        # ---- forward sweep on the fused leapfrog kernel, paired two
+        # steps per iteration so the kernel's u_prev->u_next aliasing
+        # donates with no carry-rotation copies (the _propagate finding).
+        # NOTE (r5): an in-kernel history-encode variant (quantize the
+        # ring-resident center + per-slab max outputs, deferred scale)
+        # was built and MEASURED SLOWER here (1355 vs 1313 µs/step at
+        # 256³ int8) — the single-field XLA encode apparently fuses its
+        # quantize pass into the history stacking, so the kernel only
+        # displaced ~1 touch while paying the in-kernel cross-lane max
+        # reduction. The SAME rewrite wins on the TWO-field anisotropic
+        # sweeps (VTI 3380→3130) where the encode traffic doubles —
+        # those keep it (fused_vti/tti_hist_step). Always measure.
         def fwd_one(carry, s_t):
-            u_prev, u, sc_u = carry
-            qf = (jnp.asarray(127.0, dtype) / sc_u if store == "int8"
-                  else one)
-            u_next, u_enc, pmax = fused_leapfrog_hist_step(
-                u_prev, u, c2dt2, spz, spy, spx, s_t, src_idx, amp, qf,
-                store=store, order=order, interpret=interp)
-            sc_next = jnp.maximum(jnp.max(pmax), floor)
-            sc_rec = sc_u if store == "int8" else one
-            return (u, u_next, sc_next), (u_enc, sc_rec)
+            u_prev, u = carry
+            u_next = fused_leapfrog_step(
+                u_prev, u, c2dt2, spz, spy, spx, s_t, src_idx, amp,
+                order=order, interpret=interp)
+            return (u, u_next), enc(u)
 
         def fwd_pair(carry, s_pair):
             c1, h1 = fwd_one(carry, s_pair[0])
@@ -766,8 +762,7 @@ def _adjoint_stored(c, dd, src_wavelet, src_idx, rcv_idx, *, dt, dx, sponge,
             wav = jnp.concatenate(
                 [wav, jnp.zeros((1,) + wav.shape[1:], wav.dtype)])
         xsf = wav.reshape(((nt + padf) // 2, 2) + wav.shape[1:])
-        (_, _, _), (hist, scales) = lax.scan(fwd_pair, (u0, u0, floor),
-                                             xsf)
+        (_, _), (hist, scales) = lax.scan(fwd_pair, (u0, u0), xsf)
         hist = hist.reshape((nt + padf,) + hist.shape[2:])[:nt]
         scales = scales.reshape((nt + padf,) + scales.shape[2:])[:nt]
 
