@@ -1745,8 +1745,9 @@ def fused_vti_adjoint_step(ap1, aq1, ap2, aq2, gC, gah, gav, C, av, ah,
 # Bit-exactness contract at order 2 (gated by tests/test_pallas_wave.py):
 # the kernel reproduces the exact FP trees of _adjoint_stored_tti3d's XLA
 # bstep (_mul_sponge / _d2_axis / _d1_axis compositions / H_of / V_of /
-# HT / VT / the accumulator sums), so fused and XLA TTI stored-adjoints
-# are interchangeable mid-inversion.
+# HT / VT applied ONCE on the summed weight fields / the accumulator
+# sums), so fused and XLA TTI stored-adjoints are interchangeable
+# mid-inversion.
 # ---------------------------------------------------------------------------
 
 
@@ -1820,11 +1821,13 @@ def _tti_adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk,
     nzw = [nz_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
     nyw = [ny_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
     nxw = [nx_scr[pl.ds(base + s, 1)].astype(jnp.float32) for s in range(P)]
-    # EXACT bstep trees: C * ah * ebp ≡ (C·ah)·ēp, etc.
-    w1 = [(Cwin[s] * ahw[s]) * ebp[s] for s in range(P)]   # HT arg 1 (ap)
-    w2 = [(Cwin[s] * avw[s]) * ebq[s] for s in range(P)]   # HT arg 2 (ap)
-    w3 = [(Cwin[s] * avw[s]) * ebp[s] for s in range(P)]   # VT arg 1 (aq)
-    w4 = [Cwin[s] * ebq[s] for s in range(P)]              # VT arg 2 (aq)
+    # EXACT bstep trees: HT/VT apply ONCE on the summed weight field
+    # (C·ah·ēp + C·av·ēq and C·av·ēp + C·ēq) — linearity halves the
+    # transposed-operator arithmetic, the hot half of this kernel
+    w12 = [(Cwin[s] * ahw[s]) * ebp[s] + (Cwin[s] * avw[s]) * ebq[s]
+           for s in range(P)]
+    w34 = [(Cwin[s] * avw[s]) * ebp[s] + Cwin[s] * ebq[s]
+           for s in range(P)]
     pdec = [p_scr[pl.ds(base + s, 1)].astype(jnp.float32) * psc
             for s in range(P)]
     qdec = [q_scr[pl.ds(base + s, 1)].astype(jnp.float32) * qsc
@@ -1955,8 +1958,8 @@ def _tti_adjoint_kernel(scal_ref, spz_ref, sy_blk, sx_blk,
 
         ebp1 = ap2_blk[pl.ds(t, 1)] * planes[s_c]
         ebq1 = aq2_blk[pl.ds(t, 1)] * planes[s_c]
-        apo_blk[pl.ds(t, 1)] = (2.0 * ebp_c + ht_of(w1) + ht_of(w2)) - ebp1
-        aqo_blk[pl.ds(t, 1)] = (2.0 * ebq_c + vt_of(w3) + vt_of(w4)) - ebq1
+        apo_blk[pl.ds(t, 1)] = (2.0 * ebp_c + ht_of(w12)) - ebp1
+        aqo_blk[pl.ds(t, 1)] = (2.0 * ebq_c + vt_of(w34)) - ebq1
 
 
 # swept in-loop at 256³ (r5, int8 gradient fwd+rev, whole-sweep marginal):

@@ -3255,8 +3255,12 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
     composed-first-difference ∂ᵢⱼ) is self-adjoint under the zero
     boundary, so the reverse sweep transposes term by term:
 
-        ap = Pᵀḡ + 2ēp + Hᵀ(C·ah·ēp) + Hᵀ(C·av·ēq) − ēp₊
-        aq =      2ēq + Vᵀ(C·av·ēp) + Vᵀ(C·ēq)   − ēq₊
+        ap = Pᵀḡ + 2ēp + Hᵀ(C·ah·ēp + C·av·ēq) − ēp₊
+        aq =      2ēq + Vᵀ(C·av·ēp + C·ēq)     − ēq₊
+
+    (Hᵀ/Vᵀ are LINEAR, so each applies ONCE on the summed weight field
+    — the reverse is compute-bound and the transposed operators are its
+    hot arithmetic)
 
     with ``Hᵀ(w) = Σ_d D_d(κ_d·w)`` (coefficients move inside). The six
     direction-coefficient gradients fold immediately into the THREE
@@ -3530,9 +3534,14 @@ def _adjoint_stored_tti3d(c, eps, delta, theta, phi, dd, src_wavelet,
         gnx = gnx + (2.0 * nx * dcxx + 2.0 * nz * dczx + 2.0 * ny * dcyx)
         ebp1s = ebp1 if og is None else og * ebp1
         ebq1s = ebq1 if og is None else og * ebq1
-        ap = (2.0 * ebp + HT(C * ah * ebp) + HT(C * av * ebq)
+        # HT/VT are linear: one application on the summed weight field
+        # instead of two (the reverse is COMPUTE-bound — the transposed
+        # operators are where its arithmetic lives; r5 measured the
+        # fused kernel 3608 µs/step with two applications each). The
+        # fused kernel matches THIS tree.
+        ap = (2.0 * ebp + HT(C * ah * ebp + C * av * ebq)
               - ebp1s) + inject(grec_prev)
-        aq = (2.0 * ebq + VT(C * av * ebp) + VT(C * ebq)) - ebq1s
+        aq = (2.0 * ebq + VT(C * av * ebp + C * ebq)) - ebq1s
         return (ap, aq, ebp, ebq, gC, gah, gav, gnz, gny, gnx), None
 
     carry0 = (inject(dd[-1]),) + (u0,) * 9

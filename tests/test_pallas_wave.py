@@ -975,8 +975,8 @@ def test_fused_tti_adjoint_step_bit_exact_order2():
         gnz_ = gnz + (2.0 * nz * dczz + 2.0 * ny * dczy + 2.0 * nx * dczx)
         gny_ = gny + (2.0 * ny * dcyy + 2.0 * nz * dczy + 2.0 * nx * dcyx)
         gnx_ = gnx + (2.0 * nx * dcxx + 2.0 * nz * dczx + 2.0 * ny * dcyx)
-        ap = (2.0 * ebp + HT(C * ah * ebp) + HT(C * av * ebq)) - ebp1
-        aq = (2.0 * ebq + VT(C * av * ebp) + VT(C * ebq)) - ebq1
+        ap = (2.0 * ebp + HT(C * ah * ebp + C * av * ebq)) - ebp1
+        aq = (2.0 * ebq + VT(C * av * ebp + C * ebq)) - ebq1
         return ap, aq, gC, gah_, gav_, gnz_, gny_, gnx_
 
     out = fused_tti_adjoint_step(
