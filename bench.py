@@ -334,7 +334,12 @@ def main():
     tti_grad_step_us = (aniso_grad_time(tti_wave_propagator, 60, TVALS)
                         - aniso_grad_time(tti_wave_propagator, 10, TVALS)
                         ) / 50 * 1e6
-    _stage(f"TTI grad step done ({tti_grad_step_us:.0f} us/step); matvec")
+    _stage(f"TTI grad step done ({tti_grad_step_us:.0f} us/step); bf16")
+    tti16_grad_step_us = (
+        aniso_grad_time(tti_wave_propagator, 60, TVALS, jnp.bfloat16)
+        - aniso_grad_time(tti_wave_propagator, 10, TVALS, jnp.bfloat16)
+    ) / 50 * 1e6
+    _stage(f"TTI bf16 grad done ({tti16_grad_step_us:.0f} us/step); matvec")
 
     # ---- matvec pairs/s (fused chained loop, marginal between trip counts)
     pair = jax.jit(
@@ -376,6 +381,7 @@ def main():
                 "tti3d_bf16_step_us": round(tti16_step_us, 2),
                 "vti3d_grad_step_us": round(vti_grad_step_us, 2),
                 "tti3d_grad_step_us": round(tti_grad_step_us, 2),
+                "tti3d_bf16_grad_step_us": round(tti16_grad_step_us, 2),
                 "selfcert_fwd_rel": float(f"{selfcert_fwd:.2e}"),
                 "selfcert_adj_rel": float(f"{selfcert_adj:.2e}"),
                 "selfcert_vti_adj_rel": float(f"{selfcert_vti:.2e}"),
